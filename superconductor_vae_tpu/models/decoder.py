@@ -1,0 +1,301 @@
+"""Transformer formula decoder (Flax) with fixed-shape KV-cache decoding.
+
+Capability parity with the reference `EnhancedTransformerDecoder`
+(reference: src/superconductor/models/autoregressive_decoder.py:544-2032):
+12 pre-norm decoder layers cross-attending to 24 memory tokens built from
+latent z (16) + stoichiometry conditioning (4) + encoder-head predictions (4),
+with output projection, stop head, site-duplication head, and 5-way token-type
+head.
+
+TPU-first redesign of the generation path:
+
+- The reference grows K/V tensors per step in Python
+  (autoregressive_decoder.py:1266-1273).  Here the cache is a pre-allocated
+  ``[L, B, max_len, H, Dh]`` array updated with ``dynamic_update_slice`` so
+  the whole AR loop compiles to one XLA ``while``/``scan`` program with static
+  shapes (see generation/generate.py).
+- Cross-attention K/V over the 24 static memory tokens are projected ONCE per
+  generation (``memory_kv``) and reused by every step — the per-step cross
+  attention is just a query projection and a [B,1,H,Dh]x[B,24,H,Dh]
+  contraction.  This generalizes the reference's ``precompute_memory``
+  (autoregressive_decoder.py:875-899).
+- Per-step Python branching (stop boost, hard stop, type masking, site-dup
+  gating, NaN guards) becomes ``jnp.where`` chains in generation/generate.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.attention import causal_mask, mha_attention
+from .config import ModelConfig
+
+_dense_init = nn.initializers.xavier_uniform()
+
+
+def sinusoidal_positions(max_len: int, d_model: int) -> np.ndarray:
+    """Standard sin/cos positional table [max_len, d_model]."""
+    pos = np.arange(max_len)[:, None].astype(np.float32)
+    div = np.exp(np.arange(0, d_model, 2).astype(np.float32)
+                 * (-math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div[: pe[:, 1::2].shape[1]])
+    return pe
+
+
+class DecoderLayer(nn.Module):
+    """Pre-norm decoder layer: causal self-attn, cross-attn to memory, GELU FFN."""
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        d, h = cfg.d_model, cfg.nhead
+        dense = lambda name: nn.Dense(d, kernel_init=_dense_init,
+                                      dtype=self.dtype, name=name)
+        self.norm1 = nn.LayerNorm(dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.self_q, self.self_k = dense('self_q'), dense('self_k')
+        self.self_v, self.self_o = dense('self_v'), dense('self_o')
+        self.cross_q, self.cross_k = dense('cross_q'), dense('cross_k')
+        self.cross_v, self.cross_o = dense('cross_v'), dense('cross_o')
+        self.ff1 = nn.Dense(cfg.dim_feedforward, kernel_init=_dense_init,
+                            dtype=self.dtype)
+        self.ff2 = nn.Dense(d, kernel_init=_dense_init, dtype=self.dtype)
+        self.drop = nn.Dropout(cfg.dropout)
+
+    def _split(self, x):
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.cfg.nhead, self.cfg.head_dim)
+
+    def cross_kv(self, memory: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Project the static memory to K/V once per generation. [B,M,H,Dh] x2."""
+        return self._split(self.cross_k(memory)), self._split(self.cross_v(memory))
+
+    def self_kv(self, x_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._split(self.self_k(x_norm)), self._split(self.self_v(x_norm))
+
+    def __call__(self, x, memory, self_mask, *, deterministic: bool = True,
+                 memory_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+        b, t, d = x.shape
+        # self attention (pre-norm)
+        xn = self.norm1(x)
+        q = self._split(self.self_q(xn))
+        k, v = self.self_kv(xn)
+        sa = mha_attention(q, k, v, self_mask).reshape(b, t, d)
+        x = x + self.drop(self.self_o(sa), deterministic=deterministic)
+        # cross attention to memory
+        xn = self.norm2(x)
+        q = self._split(self.cross_q(xn))
+        mk, mv = memory_kv if memory_kv is not None else self.cross_kv(memory)
+        ca = mha_attention(q, mk, mv).reshape(b, t, d)
+        x = x + self.drop(self.cross_o(ca), deterministic=deterministic)
+        # feed-forward
+        xn = self.norm3(x)
+        ff = self.ff2(self.drop(nn.gelu(self.ff1(xn)), deterministic=deterministic))
+        return x + self.drop(ff, deterministic=deterministic)
+
+    def step(self, x, k_cache, v_cache, memory_kv, position, valid_len):
+        """Single-token forward with fixed-shape KV cache.
+
+        Args:
+          x: [B, 1, d] current token hidden state
+          k_cache/v_cache: [B, max_len, H, Dh] pre-allocated caches
+          memory_kv: (mk, mv) precomputed cross K/V
+          position: scalar int32 current position
+          valid_len: static int, cache capacity (== max_len)
+        Returns: (x_out [B,1,d], k_cache, v_cache updated)
+        """
+        b = x.shape[0]
+        d = self.cfg.d_model
+        xn = self.norm1(x)
+        q = self._split(self.self_q(xn))                      # [B,1,H,Dh]
+        k_new, v_new = self.self_kv(xn)                       # [B,1,H,Dh]
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, position, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, position, axis=1)
+        # attend over positions <= current (mask out unwritten cache slots)
+        pos_ids = jnp.arange(valid_len)[None, None, None, :]  # [1,1,1,T]
+        mask = pos_ids <= position
+        sa = mha_attention(q, k_cache, v_cache, mask).reshape(b, 1, d)
+        x = x + self.self_o(sa)
+        xn = self.norm2(x)
+        qc = self._split(self.cross_q(xn))
+        mk, mv = memory_kv
+        ca = mha_attention(qc, mk, mv).reshape(b, 1, d)
+        x = x + self.cross_o(ca)
+        xn = self.norm3(x)
+        x = x + self.ff2(nn.gelu(self.ff1(xn)))
+        return x, k_cache, v_cache
+
+
+class MemoryBuilder(nn.Module):
+    """z + stoich + head predictions -> [B, 24, d_model] memory tokens.
+
+    Layout [latent(16) | stoich(4) | heads(4)] matching the reference
+    ``_create_memory`` (autoregressive_decoder.py:779-873).
+    """
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, stoich, heads_vec):
+        cfg = self.cfg
+        d = cfg.d_model
+        b = z.shape[0]
+        dt = self.dtype
+        z = z.astype(dt)
+
+        if cfg.memory_bottleneck_dim > 0:
+            h = nn.Dense(cfg.memory_bottleneck_dim, kernel_init=_dense_init,
+                         dtype=dt, name='latent_bottleneck')(z)
+            h = nn.gelu(nn.LayerNorm(dtype=dt)(h))
+            latent_mem = nn.Dense(d * cfg.n_memory_tokens, kernel_init=_dense_init,
+                                  dtype=dt, name='latent_out')(h)
+        else:
+            h = nn.gelu(nn.Dense(d * cfg.n_memory_tokens // 2,
+                                 kernel_init=_dense_init, dtype=dt,
+                                 name='latent_mid')(z))
+            latent_mem = nn.Dense(d * cfg.n_memory_tokens, kernel_init=_dense_init,
+                                  dtype=dt, name='latent_out')(h)
+        parts = [latent_mem.reshape(b, cfg.n_memory_tokens, d)]
+
+        if cfg.n_stoich_tokens > 0:
+            s = nn.Dense(d, kernel_init=_dense_init, dtype=dt,
+                         name='stoich_mid')(stoich.astype(dt))
+            s = nn.gelu(nn.LayerNorm(dtype=dt)(s))
+            s = nn.Dense(d * cfg.n_stoich_tokens, kernel_init=_dense_init,
+                         dtype=dt, name='stoich_out')(s)
+            parts.append(s.reshape(b, cfg.n_stoich_tokens, d))
+
+        if cfg.n_heads_tokens > 0:
+            hh = nn.Dense(d // 2, kernel_init=_dense_init, dtype=dt,
+                          name='heads_mid1')(heads_vec.astype(dt))
+            hh = nn.gelu(nn.LayerNorm(dtype=dt)(hh))
+            hh = nn.gelu(nn.Dense(d, kernel_init=_dense_init, dtype=dt,
+                                  name='heads_mid2')(hh))
+            hh = nn.Dense(d * cfg.n_heads_tokens, kernel_init=_dense_init,
+                          dtype=dt, name='heads_out')(hh)
+            parts.append(hh.reshape(b, cfg.n_heads_tokens, d))
+
+        return jnp.concatenate(parts, axis=1)
+
+
+class FormulaDecoder(nn.Module):
+    """12-layer formula decoder with TF fast path and cached decode step."""
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        dt = self.dtype
+        self.token_embedding = nn.Embed(
+            cfg.vocab_size, cfg.d_model,
+            embedding_init=nn.initializers.normal(0.02), dtype=dt)
+        self.pos_table = jnp.asarray(
+            sinusoidal_positions(cfg.max_len, cfg.d_model))
+        self.memory_builder = MemoryBuilder(cfg, dtype=dt)
+        self.layers = [DecoderLayer(cfg, dtype=dt, name=f'layer_{i}')
+                       for i in range(cfg.num_layers)]
+        self.drop = nn.Dropout(cfg.dropout)
+
+        d = cfg.d_model
+        self.out_ln = nn.LayerNorm(dtype=dt)
+        self.out_d1 = nn.Dense(d, kernel_init=_dense_init, dtype=dt)
+        self.out_d2 = nn.Dense(cfg.vocab_size, kernel_init=_dense_init, dtype=dt)
+        self.stop_d1 = nn.Dense(d // 4, kernel_init=_dense_init, dtype=dt)
+        self.stop_d2 = nn.Dense(1, kernel_init=_dense_init, dtype=dt)
+        self.dup_d1 = nn.Dense(d // 4, kernel_init=_dense_init, dtype=dt)
+        self.dup_d2 = nn.Dense(1, kernel_init=_dense_init, dtype=dt)
+        self.type_ln = nn.LayerNorm(dtype=dt)
+        self.type_d1 = nn.Dense(d, kernel_init=_dense_init, dtype=dt)
+        self.type_d2 = nn.Dense(d // 4, kernel_init=_dense_init, dtype=dt)
+        self.type_d3 = nn.Dense(5, kernel_init=_dense_init, dtype=dt)
+
+    # -- heads ---------------------------------------------------------------
+    def output_heads(self, h, *, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """Hidden states -> (vocab logits, stop, type, site-dup) heads."""
+        y = self.out_ln(h)
+        y = self.drop(nn.gelu(self.out_d1(y)), deterministic=deterministic)
+        logits = self.out_d2(y)
+        stop = self.stop_d2(nn.gelu(self.stop_d1(h)))[..., 0]
+        dup = self.dup_d2(nn.gelu(self.dup_d1(h)))[..., 0]
+        t = self.type_ln(h)
+        t = self.drop(nn.gelu(self.type_d1(t)), deterministic=deterministic)
+        t = self.drop(nn.gelu(self.type_d2(t)), deterministic=deterministic)
+        type_logits = self.type_d3(t)
+        return {'logits': logits, 'stop_logits': stop,
+                'type_logits': type_logits, 'site_dup_logits': dup}
+
+    # -- memory --------------------------------------------------------------
+    def build_memory(self, z, stoich, heads_vec) -> jnp.ndarray:
+        return self.memory_builder(z, stoich, heads_vec)
+
+    def memory_kv(self, memory) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Per-layer cross-attention K/V, projected once per generation."""
+        return [layer.cross_kv(memory) for layer in self.layers]
+
+    # -- teacher-forced parallel forward --------------------------------------
+    def __call__(self, z, target_tokens, stoich, heads_vec, *,
+                 deterministic: bool = True,
+                 memory: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+        """TF=1.0 fast path: one parallel causal forward.
+
+        Args:
+          target_tokens: [B, T] token ids incl. BOS/EOS/PAD.
+        Returns dict with logits [B, T-1, V], generated argmax, stop/type/dup
+        logits — the same contract as the reference forward
+        (autoregressive_decoder.py:901-984).
+        """
+        if memory is None:
+            memory = self.build_memory(z, stoich, heads_vec)
+        inputs = target_tokens[:, :-1]
+        t = inputs.shape[1]
+        x = self.token_embedding(inputs) + self.pos_table[None, :t].astype(self.dtype)
+        x = self.drop(x, deterministic=deterministic)
+        mask = causal_mask(t)
+        for layer in self.layers:
+            x = layer(x, memory, mask, deterministic=deterministic)
+        heads = self.output_heads(x, deterministic=deterministic)
+        heads['generated'] = jnp.argmax(heads['logits'], axis=-1)
+        heads['memory'] = memory
+        return heads
+
+    # -- single-token cached step ---------------------------------------------
+    def decode_step(self, token, position, k_caches, v_caches, memory_kvs):
+        """One AR step through all layers with the fixed-shape cache.
+
+        Args:
+          token: [B] int32 current input token
+          position: scalar int32
+          k_caches/v_caches: [L, B, max_len, H, Dh]
+          memory_kvs: list of per-layer (mk, mv)
+        Returns: (head outputs dict for this position, k_caches, v_caches)
+        """
+        cfg = self.cfg
+        x = self.token_embedding(token)[:, None, :]
+        pe = jax.lax.dynamic_slice_in_dim(self.pos_table, position, 1, axis=0)
+        x = x + pe[None].astype(self.dtype)[:, 0]
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, k_c, v_c = layer.step(
+                x, k_caches[i], v_caches[i], memory_kvs[i], position,
+                cfg.max_len)
+            new_k.append(k_c)
+            new_v.append(v_c)
+        heads = self.output_heads(x, deterministic=True)
+        heads = {k: v[:, 0] for k, v in heads.items()}
+        return heads, jnp.stack(new_k), jnp.stack(new_v)
+
+    def init_cache(self, batch_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        shape = (cfg.num_layers, batch_size, cfg.max_len, cfg.nhead, cfg.head_dim)
+        return (jnp.zeros(shape, dtype=self.dtype),
+                jnp.zeros(shape, dtype=self.dtype))

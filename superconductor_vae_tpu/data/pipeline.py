@@ -1,0 +1,390 @@
+"""Data pipeline: CSV -> fixed-shape numpy arrays ready for device transfer.
+
+Capability parity with the reference's ``load_and_prepare_data``
+(reference: scripts/train_v12_clean.py:1724-2287):
+
+- tokenized formulas padded to ``max_len`` (semantic fraction tokenizer)
+- element composition slots ``[N, 12]`` (indices / normalized fractions / mask)
+- Tc: log1p then z-score with SC-only statistics
+- Magpie: NaN fill, |skew|>threshold features rank-Gaussian transformed,
+  SC-only z-score
+- HP labels, contrastive category labels, rule-based 14-class family labels
+- 15 compositional targets for physics-Z supervision
+- generative-holdout exclusion by formula match
+- content-hash ``.npz`` cache
+- weighted sampling weights (SC balance x hard-length x high-Tc)
+
+TPU-first framing: this layer produces *static-shape host arrays only*; the
+training loop transfers one sharded batch per step (device_put with a
+NamedSharding), so the input pipeline never appears on the device timeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import re
+from fractions import Fraction
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..chem.elements import SYMBOL_TO_Z
+from ..models.family_classifier import (
+    RuleBasedFamilyClassifier, SuperconductorFamily,
+)
+from ..tokenizer import FractionAwareTokenizer, default_tokenizer
+from .compositional_targets import normalized_compositional_targets
+
+MAX_ELEMENTS = 12
+
+# Contrastive category labels (reference: losses/contrastive.py:91-146)
+SC_CATEGORY_LABELS = {
+    'Cuprates': 0, 'Iron-based': 1, 'Bismuthates': 2, 'Borocarbides': 3,
+    'Elemental Superconductors': 4, 'Hydrogen-rich Superconductors': 5,
+    'Organic Superconductors': 6, 'Other': 7,
+    'Non-SC: Materials Project': 8, 'Non-SC: Magnetic': 9,
+    'Non-SC: Thermoelectric': 10, 'Non-SC: Anisotropy': 11,
+    'High-pressure (non-hydride)': 12,
+}
+
+
+def category_to_label(category: str, use_extended: bool = True,
+                      requires_high_pressure: int = 0) -> int:
+    if not use_extended:
+        return 1 if str(category).startswith('Non-SC') else 0
+    category = str(category)
+    if (requires_high_pressure == 1
+            and category != 'Hydrogen-rich Superconductors'
+            and not category.startswith('Non-SC')):
+        return SC_CATEGORY_LABELS['High-pressure (non-hydride)']
+    if category in SC_CATEGORY_LABELS:
+        return SC_CATEGORY_LABELS[category]
+    if category.startswith('Non-SC'):
+        return max(SC_CATEGORY_LABELS.values())
+    return SC_CATEGORY_LABELS['Other']
+
+
+_COMP_SCAN = re.compile(
+    r'(?:\{(?P<mass>\d+)\})?(?P<el>[A-Z][a-z]?)'
+    r'(?:\((?P<num>\d+)/(?P<den>\d+)\)|(?P<int>\d+))?'
+)
+
+
+def parse_formula_composition(formula: str) -> Dict[str, float]:
+    """Formula string -> {element: amount}. Isotopes fold into parent element.
+
+    Amounts repeated for the same element accumulate (crystallographic sites).
+    """
+    comp: Dict[str, float] = {}
+    for m in _COMP_SCAN.finditer(formula):
+        el = m.group('el')
+        if not el or el not in SYMBOL_TO_Z:
+            continue
+        qty = 1.0
+        if m.group('num') is not None:
+            den = int(m.group('den'))
+            qty = int(m.group('num')) / den if den else 1.0
+        elif m.group('int') is not None:
+            qty = float(int(m.group('int')))
+        comp[el] = comp.get(el, 0.0) + qty
+    return comp
+
+
+@dataclasses.dataclass
+class NormStats:
+    tc_mean: float
+    tc_std: float
+    tc_log_transform: bool
+    magpie_mean: np.ndarray
+    magpie_std: np.ndarray
+    magpie_skewed_indices: List[int]
+    magpie_sc_only_norm: bool
+    comp_target_stats: Optional[dict] = None
+
+    def tc_to_kelvin(self, tc_norm: np.ndarray) -> np.ndarray:
+        x = tc_norm * self.tc_std + self.tc_mean
+        if self.tc_log_transform:
+            x = np.expm1(x)
+        return np.clip(x, 0.0, None)
+
+    def kelvin_to_norm(self, tc_k: np.ndarray) -> np.ndarray:
+        x = np.log1p(tc_k) if self.tc_log_transform else np.asarray(tc_k, np.float64)
+        return ((x - self.tc_mean) / self.tc_std).astype(np.float32)
+
+    def to_json(self) -> dict:
+        return {
+            'tc_mean': self.tc_mean, 'tc_std': self.tc_std,
+            'tc_log_transform': self.tc_log_transform,
+            'magpie_mean': np.asarray(self.magpie_mean).tolist(),
+            'magpie_std': np.asarray(self.magpie_std).tolist(),
+            'magpie_skewed_indices': list(self.magpie_skewed_indices),
+            'magpie_sc_only_norm': self.magpie_sc_only_norm,
+            'comp_target_stats': self.comp_target_stats,
+        }
+
+
+@dataclasses.dataclass
+class DatasetArrays:
+    """Fixed-shape host arrays for the full dataset (training rows only)."""
+    formulas: List[str]
+    tokens: np.ndarray            # [N, max_len] int32
+    element_indices: np.ndarray   # [N, 12] int32
+    element_fractions: np.ndarray  # [N, 12] float32 (normalized to sum 1)
+    element_mask: np.ndarray      # [N, 12] bool
+    tc: np.ndarray                # [N] float32 normalized
+    magpie: np.ndarray            # [N, M] float32 normalized
+    is_sc: np.ndarray             # [N] int32
+    label: np.ndarray             # [N] int32 contrastive label
+    hp: np.ndarray                # [N] float32
+    family: np.ndarray            # [N] int32 14-class
+    comp_targets: np.ndarray      # [N, 15] float32 normalized
+    norm_stats: NormStats
+
+    def __len__(self):
+        return len(self.tokens)
+
+    @property
+    def magpie_dim(self) -> int:
+        return self.magpie.shape[1]
+
+    def batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        return {
+            'tokens': self.tokens[idx],
+            'element_indices': self.element_indices[idx],
+            'element_fractions': self.element_fractions[idx],
+            'element_mask': self.element_mask[idx],
+            'tc': self.tc[idx],
+            'magpie': self.magpie[idx],
+            'is_sc': self.is_sc[idx],
+            'label': self.label[idx],
+            'hp': self.hp[idx],
+            'family': self.family[idx],
+            'comp_targets': self.comp_targets[idx],
+        }
+
+
+def _rank_gaussian(col: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Rank -> uniform -> inverse-normal transform for zero-inflated features."""
+    from scipy.special import ndtri
+    jittered = col + rng.normal(0, 1e-6, len(col)).astype(np.float32)
+    order = np.argsort(jittered, kind='stable')
+    ranks = np.empty(len(col), dtype=np.float64)
+    ranks[order] = np.arange(1, len(col) + 1)
+    uniform = (ranks - 0.5) / len(col)
+    return ndtri(uniform).astype(np.float32)
+
+
+def load_holdout_formulas(path: Optional[Path] = None) -> List[str]:
+    path = Path(path or Path(__file__).resolve().parents[2]
+                / 'data' / 'GENERATIVE_HOLDOUT_DO_NOT_TRAIN.json')
+    if not path.exists():
+        return []
+    blob = json.loads(path.read_text())
+    return [s['formula'] for s in blob.get('holdout_samples', [])]
+
+
+def load_dataset(
+    csv_path: str | Path,
+    max_len: int = 30,
+    tokenizer: Optional[FractionAwareTokenizer] = None,
+    skew_threshold: float = 3.0,
+    sc_only_norm: bool = True,
+    tc_log_transform: bool = True,
+    exclude_holdout: bool = True,
+    cache_dir: Optional[str | Path] = 'outputs/data_cache',
+    limit: Optional[int] = None,
+) -> DatasetArrays:
+    """CSV -> DatasetArrays, with a content-hash npz cache."""
+    import pandas as pd
+
+    csv_path = Path(csv_path)
+    tokenizer = tokenizer or default_tokenizer(max_len=max_len)
+
+    cache_file = None
+    if cache_dir is not None:
+        h = hashlib.sha256()
+        h.update(csv_path.read_bytes())
+        h.update(f'{max_len}|{skew_threshold}|{sc_only_norm}|'
+                 f'{tc_log_transform}|{exclude_holdout}|{limit}|'
+                 f'{tokenizer.vocab_size}'.encode())
+        cache_file = Path(cache_dir) / f'dataset_{h.hexdigest()[:16]}.npz'
+        if cache_file.exists():
+            return _load_cache(cache_file)
+
+    df = pd.read_csv(csv_path)
+    if limit:
+        df = df.iloc[:limit].reset_index(drop=True)
+
+    formulas = df['formula'].astype(str).tolist()
+    tc_raw = df['Tc'].fillna(0.0).values.astype(np.float64)
+    is_sc = (df['is_superconductor'].values.astype(np.int32)
+             if 'is_superconductor' in df else np.ones(len(df), np.int32))
+    hp = (df['requires_high_pressure'].values.astype(np.float32)
+          if 'requires_high_pressure' in df else np.zeros(len(df), np.float32))
+    if 'category' in df:
+        label = np.array([
+            category_to_label(c, requires_high_pressure=int(h))
+            for c, h in zip(df['category'].values, hp)], dtype=np.int32)
+    else:
+        label = np.zeros(len(df), np.int32)
+
+    # Tc normalization: log1p + SC-only z-score
+    sc_mask = is_sc == 1
+    tc_t = np.log1p(tc_raw) if tc_log_transform else tc_raw
+    ref = tc_t[sc_mask] if sc_mask.any() else tc_t
+    tc_mean, tc_std = float(ref.mean()), float(ref.std() + 1e-8)
+    tc = ((tc_t - tc_mean) / tc_std).astype(np.float32)
+
+    # Magpie features: all numeric cols minus known non-features
+    exclude = {'formula', 'Tc', 'composition', 'category', 'is_superconductor',
+               'compound possible', 'formula_original', 'requires_high_pressure'}
+    numeric = df.select_dtypes(include=['number']).columns
+    magpie_cols = [c for c in numeric if c not in exclude]
+    magpie = df[magpie_cols].values.astype(np.float32)
+    nan_mask = np.isnan(magpie)
+    if nan_mask.any():
+        with np.errstate(invalid='ignore'):
+            col_means = np.nan_to_num(np.nanmean(magpie, axis=0))
+        magpie = np.where(nan_mask, col_means[None, :], magpie)
+
+    skewed_idx: List[int] = []
+    if skew_threshold > 0:
+        from scipy.stats import skew
+        rng = np.random.default_rng(42)
+        sk = skew(magpie, axis=0)
+        skewed_idx = np.where(np.abs(np.nan_to_num(sk)) > skew_threshold)[0].tolist()
+        for i in skewed_idx:
+            magpie[:, i] = _rank_gaussian(magpie[:, i], rng)
+
+    stats_rows = sc_mask if (sc_only_norm and sc_mask.any()) else np.ones(len(df), bool)
+    mg_mean = magpie[stats_rows].mean(axis=0)
+    mg_std = magpie[stats_rows].std(axis=0) + 1e-8
+    magpie = (magpie - mg_mean) / mg_std
+
+    # Tokenize + parse compositions
+    tokens = tokenizer.encode_batch(formulas)
+    n = len(formulas)
+    elem_idx = np.zeros((n, MAX_ELEMENTS), np.int32)
+    elem_frac = np.zeros((n, MAX_ELEMENTS), np.float32)
+    elem_mask = np.zeros((n, MAX_ELEMENTS), bool)
+    classifier = RuleBasedFamilyClassifier()
+    family = np.zeros(n, np.int32)
+    for i, f in enumerate(formulas):
+        comp = parse_formula_composition(f)
+        total = sum(comp.values()) or 1.0
+        for j, (el, amt) in enumerate(comp.items()):
+            if j >= MAX_ELEMENTS:
+                break
+            elem_idx[i, j] = SYMBOL_TO_Z[el]
+            elem_frac[i, j] = amt / total
+            elem_mask[i, j] = True
+        if is_sc[i] == 1:
+            family[i] = int(classifier.classify_from_elements(set(comp)))
+        else:
+            family[i] = int(SuperconductorFamily.NOT_SUPERCONDUCTOR)
+
+    comp_targets, comp_stats = normalized_compositional_targets(
+        elem_idx, elem_frac, elem_mask)
+
+    # Holdout exclusion by formula match
+    keep = np.ones(n, bool)
+    if exclude_holdout:
+        holdout = set(load_holdout_formulas())
+        if holdout:
+            keep = np.array([f not in holdout for f in formulas])
+
+    norm_stats = NormStats(
+        tc_mean=tc_mean, tc_std=tc_std, tc_log_transform=tc_log_transform,
+        magpie_mean=mg_mean, magpie_std=mg_std,
+        magpie_skewed_indices=skewed_idx, magpie_sc_only_norm=sc_only_norm,
+        comp_target_stats=comp_stats,
+    )
+    ds = DatasetArrays(
+        formulas=[f for f, k in zip(formulas, keep) if k],
+        tokens=tokens[keep].astype(np.int32),
+        element_indices=elem_idx[keep],
+        element_fractions=elem_frac[keep],
+        element_mask=elem_mask[keep],
+        tc=tc[keep], magpie=magpie[keep].astype(np.float32),
+        is_sc=is_sc[keep], label=label[keep], hp=hp[keep],
+        family=family[keep], comp_targets=comp_targets[keep],
+        norm_stats=norm_stats,
+    )
+    if cache_file is not None:
+        _save_cache(cache_file, ds)
+    return ds
+
+
+def _save_cache(path: Path, ds: DatasetArrays) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        path,
+        formulas=np.array(ds.formulas, dtype=object),
+        tokens=ds.tokens, element_indices=ds.element_indices,
+        element_fractions=ds.element_fractions, element_mask=ds.element_mask,
+        tc=ds.tc, magpie=ds.magpie, is_sc=ds.is_sc, label=ds.label,
+        hp=ds.hp, family=ds.family, comp_targets=ds.comp_targets,
+        norm_stats=np.array(json.dumps(ds.norm_stats.to_json()), dtype=object),
+        allow_pickle=True,
+    )
+
+
+def _load_cache(path: Path) -> DatasetArrays:
+    blob = np.load(path, allow_pickle=True)
+    st = json.loads(str(blob['norm_stats']))
+    norm_stats = NormStats(
+        tc_mean=st['tc_mean'], tc_std=st['tc_std'],
+        tc_log_transform=st['tc_log_transform'],
+        magpie_mean=np.array(st['magpie_mean'], np.float32),
+        magpie_std=np.array(st['magpie_std'], np.float32),
+        magpie_skewed_indices=st['magpie_skewed_indices'],
+        magpie_sc_only_norm=st['magpie_sc_only_norm'],
+        comp_target_stats=st.get('comp_target_stats'),
+    )
+    return DatasetArrays(
+        formulas=list(blob['formulas']),
+        tokens=blob['tokens'], element_indices=blob['element_indices'],
+        element_fractions=blob['element_fractions'],
+        element_mask=blob['element_mask'], tc=blob['tc'],
+        magpie=blob['magpie'], is_sc=blob['is_sc'], label=blob['label'],
+        hp=blob['hp'], family=blob['family'], comp_targets=blob['comp_targets'],
+        norm_stats=norm_stats,
+    )
+
+
+def compute_sample_weights(
+    ds: DatasetArrays,
+    balanced: bool = True,
+    oversample_hard: bool = True,
+    oversample_length_base: float = 15.0,
+    oversample_high_tc: bool = True,
+    tc_bins: Optional[Dict[float, float]] = None,
+) -> np.ndarray:
+    """Weighted-sampling weights: SC balance x hard-length x high-Tc boosts
+    (reference: train_v12_clean.py:2179-2258)."""
+    n = len(ds)
+    w = np.ones(n, np.float64)
+    if balanced:
+        n_sc = int((ds.is_sc == 1).sum())
+        n_non = n - n_sc
+        if n_non > 0 and n_sc > 0:
+            w = np.where(ds.is_sc == 1, 1.0 / n_sc, 1.0 / n_non)
+    if oversample_hard:
+        seq_len = (ds.tokens != 0).sum(axis=1).astype(np.float64)
+        n_elem = ds.element_mask.sum(axis=1).astype(np.float64)
+        length_boost = 1.0 + np.clip(
+            (seq_len - oversample_length_base) / oversample_length_base, 0, 3.0)
+        elem_boost = 1.0 + 0.5 * np.clip(n_elem - 3, 0, 4.0)
+        w = w * length_boost * elem_boost
+    if oversample_high_tc:
+        bins = tc_bins or {50.0: 3.0, 100.0: 10.0}
+        tc_k = ds.norm_stats.tc_to_kelvin(ds.tc)
+        boost = np.ones(n)
+        for thr in sorted(bins):
+            mask = (tc_k >= thr) & (ds.is_sc == 1)
+            boost[mask] = bins[thr]
+        w = w * boost
+    return (w / w.sum()).astype(np.float64)

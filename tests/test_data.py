@@ -1,0 +1,139 @@
+"""Data pipeline tests: parsing, normalization, caching, sampling."""
+
+import numpy as np
+import pytest
+
+from superconductor_vae_tpu.data import (
+    DatasetArrays, load_dataset, parse_formula_composition,
+    category_to_label, compute_sample_weights, WeightedEpochSampler,
+    shard_batch_indices, synthetic_dataset, compositional_targets,
+)
+from superconductor_vae_tpu.models.family_classifier import (
+    RuleBasedFamilyClassifier, SuperconductorFamily, classify_batch,
+)
+
+REAL_CSV = '/root/reference/data/processed/new_sc_datasets.csv'
+
+
+def test_parse_composition():
+    c = parse_formula_composition('YBa2Cu3O7')
+    assert c == {'Y': 1.0, 'Ba': 2.0, 'Cu': 3.0, 'O': 7.0}
+    c = parse_formula_composition('La(17/20)Sr(3/20)CuO4')
+    assert abs(c['La'] - 0.85) < 1e-9 and abs(c['Sr'] - 0.15) < 1e-9
+    # isotopes fold into the parent element
+    c = parse_formula_composition('Y1Ba2Cu3{18}O7')
+    assert c['O'] == 7.0
+    # duplicate sites accumulate
+    c = parse_formula_composition('Cu2OCu1')
+    assert c['Cu'] == 3.0
+
+
+def test_category_to_label():
+    assert category_to_label('Cuprates') == 0
+    assert category_to_label('Non-SC: Magnetic') == 9
+    assert category_to_label('Other', requires_high_pressure=1) == 12
+    assert category_to_label('Hydrogen-rich Superconductors',
+                             requires_high_pressure=1) == 5
+    assert category_to_label('Non-SC: weird') == 12
+    assert category_to_label('Mystery') == 7
+
+
+def test_family_classifier():
+    clf = RuleBasedFamilyClassifier()
+    assert clf.classify_from_elements({'Y', 'Ba', 'Cu', 'O'}) == SuperconductorFamily.CUPRATE_YBCO
+    assert clf.classify_from_elements({'La', 'Sr', 'Cu', 'O'}) == SuperconductorFamily.CUPRATE_LSCO
+    assert clf.classify_from_elements({'Fe', 'As', 'La', 'O'}) == SuperconductorFamily.IRON_PNICTIDE
+    assert clf.classify_from_elements({'Fe', 'Se'}) == SuperconductorFamily.IRON_CHALCOGENIDE
+    assert clf.classify_from_elements({'Mg', 'B'}) == SuperconductorFamily.MGB2_TYPE
+    assert clf.classify_from_elements({'Nb', 'Sn'}) == SuperconductorFamily.BCS_CONVENTIONAL
+    assert clf.classify_from_elements({'U', 'Pt'}) == SuperconductorFamily.HEAVY_FERMION
+
+
+def test_classify_batch_matches_scalar():
+    ds = synthetic_dataset(n=128, seed=3)
+    vec = classify_batch(ds.element_indices, ds.element_mask)
+    clf = RuleBasedFamilyClassifier()
+    for i, f in enumerate(ds.formulas):
+        comp = parse_formula_composition(f)
+        expect = int(clf.classify_from_elements(set(comp)))
+        assert vec[i] == expect, (f, vec[i], expect)
+
+
+def test_synthetic_dataset_shapes():
+    ds = synthetic_dataset(n=64, max_len=20, magpie_dim=16)
+    assert ds.tokens.shape == (64, 20)
+    assert ds.element_indices.shape == (64, 12)
+    assert ds.magpie.shape == (64, 16)
+    assert ds.comp_targets.shape == (64, 15)
+    batch = ds.batch(np.arange(8))
+    assert batch['tokens'].shape == (8, 20)
+    # fractions normalized
+    sums = (ds.element_fractions * ds.element_mask).sum(1)
+    np.testing.assert_allclose(sums[ds.element_mask.any(1)], 1.0, atol=1e-5)
+
+
+def test_real_csv_loading(tmp_path):
+    ds = load_dataset(REAL_CSV, max_len=30, cache_dir=tmp_path, limit=300)
+    assert len(ds) > 250
+    assert ds.magpie_dim > 100
+    assert np.isfinite(ds.magpie).all()
+    assert np.isfinite(ds.tc).all()
+    # SC-only z-score: mean of SC tc ~ 0
+    sc = ds.is_sc == 1
+    assert abs(ds.tc[sc].mean()) < 0.2
+    # cache round-trip
+    ds2 = load_dataset(REAL_CSV, max_len=30, cache_dir=tmp_path, limit=300)
+    np.testing.assert_array_equal(ds.tokens, ds2.tokens)
+    np.testing.assert_allclose(ds.magpie, ds2.magpie, atol=1e-6)
+    assert ds.formulas[:10] == ds2.formulas[:10]
+    assert ds2.norm_stats.tc_std == pytest.approx(ds.norm_stats.tc_std)
+
+
+def test_holdout_exclusion(tmp_path):
+    from superconductor_vae_tpu.data.pipeline import load_holdout_formulas
+    holdout = load_holdout_formulas()
+    assert len(holdout) == 45
+    ds = load_dataset(REAL_CSV, max_len=30, cache_dir=None, limit=200)
+    assert not (set(ds.formulas) & set(holdout))
+
+
+def test_tc_denormalization_roundtrip():
+    ds = synthetic_dataset(n=32)
+    k = ds.norm_stats.tc_to_kelvin(ds.tc)
+    back = ds.norm_stats.kelvin_to_norm(k)
+    sc = ds.is_sc == 1
+    np.testing.assert_allclose(back[sc], ds.tc[sc], atol=1e-4)
+
+
+def test_sample_weights_and_sampler():
+    ds = synthetic_dataset(n=200)
+    w = compute_sample_weights(ds)
+    assert w.shape == (200,)
+    assert w.sum() == pytest.approx(1.0)
+    sampler = WeightedEpochSampler(w, batch_size=32, seed=1)
+    batches = list(sampler.epoch(0))
+    assert len(batches) == 200 // 32
+    assert all(len(b) == 32 for b in batches)
+    # deterministic per epoch
+    b2 = list(sampler.epoch(0))
+    np.testing.assert_array_equal(batches[0], b2[0])
+    # SC/non-SC roughly balanced under the weights
+    all_idx = np.concatenate(batches)
+    frac_sc = (ds.is_sc[all_idx] == 1).mean()
+    assert 0.25 < frac_sc < 0.75
+    # sharding
+    shard = shard_batch_indices(batches[0], host_id=1, n_hosts=4)
+    assert len(shard) == 8
+    np.testing.assert_array_equal(shard, batches[0][8:16])
+
+
+def test_compositional_targets():
+    idx = np.array([[39, 56, 29, 8] + [0] * 8])   # Y Ba Cu O
+    frac = np.array([[1, 2, 3, 7] + [0] * 8], np.float32)
+    frac = frac / frac.sum()
+    mask = idx > 0
+    t = compositional_targets(idx, frac, mask)
+    assert t.shape == (1, 15)
+    assert t[0, 0] == 4          # n_elements
+    assert t[0, 4] == 56         # z_max = Ba
+    assert np.isfinite(t).all()

@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Benchmark: full multi-task train-step throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference trains 19.2 samples/s on an RTX 4060 Laptop at 108M
+params, batch 16, incl. its loss stack (reference:
+docs/COMPUTATIONAL_EFFICIENCY.md:36-39; BASELINE.md).  We measure the same
+work — 108M-param encoder+decoder forward, 17-term loss, backward, two AdamW
+updates — as one jitted program on the current accelerator.
+
+Usage:
+  python bench.py             # full-size model on the default backend (TPU)
+  python bench.py --quick     # tiny model on CPU (smoke only)
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BASELINE_SAMPLES_PER_S = 19.2
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--quick', action='store_true',
+                   help='tiny model + CPU (smoke test of the bench itself)')
+    p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--steps', type=int, default=20)
+    p.add_argument('--rl', action='store_true',
+                   help='include SCST rollouts in the step')
+    args = p.parse_args()
+
+    if args.quick:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from superconductor_vae_tpu.data import synthetic_dataset
+    from superconductor_vae_tpu.models.config import ModelConfig, tiny_test_config
+    from superconductor_vae_tpu.training import TrainConfig
+    from superconductor_vae_tpu.training.train_step import (
+        build_luts, create_train_state, default_dyn, make_train_step,
+    )
+    from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+    if args.quick:
+        mcfg = dataclasses.replace(tiny_test_config(), latent_dim=2048)
+        batch_size = args.batch_size or 32
+        dtype = jnp.float32
+    else:
+        mcfg = ModelConfig()
+        batch_size = args.batch_size or 512
+        dtype = jnp.bfloat16
+
+    tcfg = TrainConfig(batch_size=batch_size, max_formula_len=mcfg.max_len,
+                       use_physics_z=(mcfg.latent_dim >= 2048))
+    if args.rl:
+        tcfg.rl = dataclasses.replace(tcfg.rl, max_len=mcfg.max_len)
+
+    rng = jax.random.PRNGKey(0)
+    encoder, decoder, state, tx_enc, tx_dec = create_train_state(
+        mcfg, tcfg, rng, dtype=dtype)
+    tokenizer = default_tokenizer(max_len=mcfg.max_len)
+    luts = build_luts(tokenizer)
+    step = make_train_step(encoder, decoder, tcfg, tx_enc, tx_dec, luts,
+                           rl_enabled=args.rl, donate=True)
+
+    ds = synthetic_dataset(n=batch_size, max_len=mcfg.max_len,
+                           magpie_dim=mcfg.magpie_dim)
+    batch = {k: jnp.asarray(v) for k, v in
+             ds.batch(np.arange(batch_size)).items()}
+    dyn = default_dyn(tcfg)
+
+    # warmup / compile
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), dyn)
+    jax.block_until_ready(metrics['total'])
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i), dyn)
+    jax.block_until_ready(metrics['total'])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    samples_per_s = args.steps * batch_size / dt / n_chips
+    print(json.dumps({
+        'metric': 'train_samples_per_s_per_chip_108M_multitask'
+                  if not args.quick else 'train_samples_per_s_quick',
+        'value': round(samples_per_s, 2),
+        'unit': 'samples/s/chip',
+        'vs_baseline': round(samples_per_s / BASELINE_SAMPLES_PER_S, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Training CLI for the TPU-native superconductor generator.
+
+Equivalent entry point to the reference's ``scripts/train_v12_clean.py``
+(reference: :5926 ``train()``), driving the jitted DP train step.
+
+Usage:
+    python scripts/train.py                      # full run on shipped dataset
+    python scripts/train.py --epochs 5 --limit 256 --cpu   # quick smoke
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+DEFAULT_CSV = '/root/reference/data/processed/new_sc_datasets.csv'
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--csv', default=DEFAULT_CSV)
+    p.add_argument('--epochs', type=int, default=None)
+    p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--limit', type=int, default=None,
+                   help='cap dataset rows (smoke tests)')
+    p.add_argument('--output', default='outputs')
+    p.add_argument('--lr', type=float, default=None)
+    p.add_argument('--cpu', action='store_true', help='force CPU backend')
+    p.add_argument('--synthetic', action='store_true',
+                   help='use the synthetic dataset instead of a CSV')
+    p.add_argument('--tiny', action='store_true',
+                   help='tiny model config (CI/smoke)')
+    p.add_argument('--rl-weight', type=float, default=None)
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    from superconductor_vae_tpu.training import TrainConfig, train
+    from superconductor_vae_tpu.models.config import ModelConfig, tiny_test_config
+
+    tcfg = TrainConfig()
+    if args.epochs is not None:
+        tcfg.num_epochs = args.epochs
+    if args.batch_size is not None:
+        tcfg.batch_size = args.batch_size
+    if args.lr is not None:
+        tcfg.learning_rate = args.lr
+    if args.rl_weight is not None:
+        tcfg.rl_weight = args.rl_weight
+
+    mcfg = tiny_test_config() if args.tiny else None
+    if args.tiny:
+        tcfg.max_formula_len = mcfg.max_len
+        tcfg.use_physics_z = False
+
+    out = train(
+        csv_path=None if args.synthetic else args.csv,
+        model_config=mcfg,
+        train_config=tcfg,
+        output_dir=args.output,
+        limit=args.limit,
+    )
+    final = out['history'][-1]
+    print(f"done: exact={final['exact_match']:.3f} "
+          f"true_ar={final['true_ar_exact']:.3f} "
+          f"throughput={final['samples_per_s']}/s")
+
+
+if __name__ == '__main__':
+    main()

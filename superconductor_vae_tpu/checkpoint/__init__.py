@@ -1,0 +1,2 @@
+from .io import save_checkpoint, load_checkpoint, latest_checkpoint
+from .manifest import build_manifest, check_manifest_drift

@@ -120,6 +120,7 @@ def generate_with_kv_cache(
     gcfg: GenerationConfig,
     type_masks: Optional[jnp.ndarray] = None,   # [5, V] bool
     memory: Optional[jnp.ndarray] = None,
+    temperature: Optional[jnp.ndarray] = None,  # traced override (no recompile)
 ) -> Dict[str, jnp.ndarray]:
     """Batched AR rollout. Returns tokens/log_probs/entropy/mask, each
     [B, max_len - 1] (token stream excludes the BOS input, as in the
@@ -167,7 +168,8 @@ def generate_with_kv_cache(
             next_tok = jnp.argmax(safe_logits, axis=-1).astype(jnp.int32)
             log_prob = jnp.zeros((b,), jnp.float32)
         else:
-            t_logits = safe_logits / gcfg.temperature
+            temp = gcfg.temperature if temperature is None else temperature
+            t_logits = safe_logits / temp
             t_logits = _filter_top_k_top_p(t_logits, gcfg)
             t_logits = jnp.where(degenerate[:, None],
                                  jnp.zeros_like(t_logits), t_logits)

@@ -210,12 +210,23 @@ def multitask_loss(
     rl_reward_mean: Optional[jnp.ndarray] = None,
     tc_weight_override: Optional[float] = None,
     magpie_weight_override: Optional[float] = None,
+    dyn: Optional[Dict[str, jnp.ndarray]] = None,
+    physz_loss: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One pass over a (possibly mixed SC/non-SC) batch.
 
-    Returns (total_loss, metrics).  All term weights are static config;
-    curriculum overrides arrive as the two ``*_override`` floats, matching
-    the reference's per-epoch weight ramps.
+    Returns (total_loss, metrics).  Static term weights live in ``cfg``;
+    per-epoch host-scheduler decisions (curriculum ramps, smart loss
+    skipping, RL weight, physics-Z guard) arrive as TRACED scalars in
+    ``dyn`` so weight changes never trigger recompilation:
+
+      dyn keys (all optional, default 1.0 multiplier / pass-through):
+        'tc_w', 'magpie_w'      — absolute curriculum weights
+        'rl_w'                  — absolute RL weight
+        'physz_w'               — absolute physics-Z weight
+        'm_<term>'              — 0/1 skip multipliers for skippable terms
+                                  (magpie, tc_class, hp, sc, stop, site_dup,
+                                   family)
     """
     tokens = batch['tokens']
     targets = tokens[:, 1:]
@@ -226,9 +237,18 @@ def multitask_loss(
     is_sc = (batch['is_sc'] == 1).astype(jnp.float32)
     sc_any = jnp.clip(is_sc.sum(), 1.0)
 
-    tc_w = cfg.tc_weight if tc_weight_override is None else tc_weight_override
-    mg_w = (cfg.magpie_weight if magpie_weight_override is None
-            else magpie_weight_override)
+    dyn = dyn or {}
+
+    def mult(name):
+        return dyn.get(f'm_{name}', 1.0)
+
+    tc_w = dyn.get(
+        'tc_w', cfg.tc_weight if tc_weight_override is None else tc_weight_override)
+    mg_w = dyn.get(
+        'magpie_w',
+        cfg.magpie_weight if magpie_weight_override is None
+        else magpie_weight_override)
+    rl_w = dyn.get('rl_w', cfg.rl_weight)
 
     # ---- formula CE with per-sample A/D weights and SC/non-SC weighting ----
     per_sample_ce = focal_ce_per_sample(
@@ -334,23 +354,25 @@ def multitask_loss(
     # ---- policy gradient ---------------------------------------------------
     rl = rl_loss if rl_loss is not None else jnp.asarray(0.0)
 
+    pz = physz_loss if physz_loss is not None else jnp.asarray(0.0)
     total = (
         cfg.ce_weight * formula_ce
-        + cfg.rl_weight * rl
+        + rl_w * rl
         + tc_w * tc_loss
-        + mg_w * magpie_loss
+        + mg_w * mult('magpie') * magpie_loss
         + cfg.kl_weight * kl_loss
         + cfg.stoich_weight * stoich_loss
         + cfg.element_count_weight * count_loss
-        + cfg.tc_class_weight * tc_class_loss
+        + cfg.tc_class_weight * mult('tc_class') * tc_class_loss
         + cfg.constraint_zoo_weight * zoo
         + cfg.z_norm_penalty_weight * z_norm_penalty
-        + cfg.stop_loss_weight * stop_loss
+        + cfg.stop_loss_weight * mult('stop') * stop_loss
         + cfg.token_type_loss_weight * type_loss
-        + cfg.site_dup_loss_weight * site_dup_loss
-        + cfg.hp_loss_weight * hp_loss
-        + cfg.sc_loss_weight * sc_loss
-        + cfg.family_loss_weight * family_loss
+        + cfg.site_dup_loss_weight * mult('site_dup') * site_dup_loss
+        + cfg.hp_loss_weight * mult('hp') * hp_loss
+        + cfg.sc_loss_weight * mult('sc') * sc_loss
+        + cfg.family_loss_weight * mult('family') * family_loss
+        + dyn.get('physz_w', 0.0) * pz
     )
 
     # ---- metrics -----------------------------------------------------------
@@ -371,7 +393,8 @@ def multitask_loss(
         'type_loss': type_loss, 'type_accuracy': type_acc,
         'site_dup_loss': site_dup_loss, 'hp_loss': hp_loss,
         'sc_loss': sc_loss, 'family_loss': family_loss,
-        'constraint_zoo_loss': zoo, 'token_accuracy': token_acc,
+        'constraint_zoo_loss': zoo, 'physics_z_loss': pz,
+        'token_accuracy': token_acc,
         'exact_match': exact, 'entropy': entropy,
         'mean_reward': (rl_reward_mean if rl_reward_mean is not None
                         else jnp.asarray(0.0)),

@@ -67,7 +67,7 @@ def _total_reward(sampled, targets, mask, cfg: RLConfig, luts,
 
 
 def _rollout(decoder, variables, z, stoich, heads_vec, rng, cfg: RLConfig,
-             luts, greedy: bool):
+             luts, greedy: bool, temperature=None):
     gcfg = GenerationConfig(
         max_len=cfg.max_len,
         temperature=0.0 if greedy else cfg.temperature,
@@ -78,7 +78,8 @@ def _rollout(decoder, variables, z, stoich, heads_vec, rng, cfg: RLConfig,
     )
     return generate_with_kv_cache(
         decoder, variables, z, stoich, heads_vec, rng, gcfg,
-        type_masks=luts['type_masks'] if cfg.use_type_masking else None)
+        type_masks=luts['type_masks'] if cfg.use_type_masking else None,
+        temperature=None if greedy else temperature)
 
 
 def scst_loss(
@@ -90,6 +91,7 @@ def scst_loss(
     luts: Dict[str, jnp.ndarray],
     family_predictions: Optional[jnp.ndarray] = None,
     sc_weight: Optional[jnp.ndarray] = None,   # [B] 1 for SC rows else 0
+    temperature: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Self-critical sequence training. Returns (loss, mean_reward, entropy)."""
     t = targets.shape[1]
@@ -104,7 +106,7 @@ def scst_loss(
     g_reward = jax.lax.stop_gradient(g_reward)
 
     sample = _rollout(decoder, variables, z, stoich, heads_vec, s_rng,
-                      cfg, luts, greedy=False)
+                      cfg, luts, greedy=False, temperature=temperature)
     s_tokens = _pad_to(sample['tokens'], t, 0)
     s_mask = _pad_to(sample['mask'], t, 0.0)
     s_logp = _pad_to(sample['log_probs'], t, 0.0)
@@ -133,6 +135,8 @@ def rloo_loss(
     luts: Dict[str, jnp.ndarray],
     family_predictions: Optional[jnp.ndarray] = None,
     sc_weight: Optional[jnp.ndarray] = None,
+    temperature: Optional[jnp.ndarray] = None,
+    entropy_weight: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """RLOO with K leave-one-out baselines, one batched rollout of [B*K]."""
     b, t = targets.shape
@@ -146,7 +150,7 @@ def rloo_loss(
              if family_predictions is not None else None)
 
     sample = _rollout(decoder, variables, z_k, stoich_k, heads_k, rng,
-                      cfg, luts, greedy=False)
+                      cfg, luts, greedy=False, temperature=temperature)
     s_tokens = _pad_to(sample['tokens'], t, 0)
     s_mask = _pad_to(sample['mask'], t, 0.0)
     s_logp = _pad_to(sample['log_probs'], t, 0.0)
@@ -154,7 +158,8 @@ def rloo_loss(
 
     task_r = _total_reward(s_tokens, targets_k, s_mask, cfg, luts, fam_k)
     seq_ent = (s_ent * s_mask).sum(axis=1) / jnp.clip(s_mask.sum(axis=1), 1.0)
-    rewards = jax.lax.stop_gradient(task_r + cfg.entropy_weight * seq_ent)
+    ent_w = cfg.entropy_weight if entropy_weight is None else entropy_weight
+    rewards = jax.lax.stop_gradient(task_r + ent_w * seq_ent)
 
     seq_logp = (s_logp * s_mask).sum(axis=1)
     r = rewards.reshape(k, b)

@@ -1,0 +1,133 @@
+"""Training configuration.
+
+Structured-dataclass replacement for the reference's ~680-line TRAIN_CONFIG
+dict (reference: scripts/train_v12_clean.py:408-1087), preserving the
+semantics of every subsystem: curriculum ramps, adaptive TF, RL
+reactivation/warmup/safety/auto-scale, PhysZ guard, smart loss skipping,
+catastrophic-drop rollback, entropy maintenance, Phase-2 gating.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+from ..ops.losses import LossConfig
+from ..ops.rl import RLConfig
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # core loop
+    num_epochs: int = 5000
+    learning_rate: float = 3e-5
+    lr_warmup_epochs: int = 0
+    lr_min_factor: float = 0.01
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    batch_size: int = 256               # global batch (split over DP axis)
+    max_formula_len: int = 30
+    checkpoint_interval: int = 50
+    eval_interval: int = 4              # true-AR eval cadence
+    seed: int = 0
+
+    # curriculum (reference: train_v12_clean.py:1317-1339)
+    curriculum_phase1_end: int = 30
+    tc_weight: float = 20.0
+    magpie_weight: float = 2.0
+
+    # adaptive teacher forcing (reference: :1342-1376; locked at 1.0 by
+    # default per the V15.2 lesson — scheduled sampling is a false signal)
+    tf_locked: bool = True
+    tf_onset: float = 0.80
+    tf_floor: float = 0.10
+
+    # RL gating and scheduling (reference: :523-602)
+    rl_weight: float = 0.0
+    rl_min_ar_exact: float = 0.40
+    rl_auto_reactivate: bool = True
+    rl_reactivation_weight: float = 1.0
+    rl_reactivation_min_exact: float = 0.80
+    rl_reactivation_window: int = 20
+    rl_reactivation_plateau_threshold: float = 0.01
+    rl_reactivation_force_exact: float = 0.92
+    rl_warmup_epochs: int = 20
+    rl_warmup_start: float = 0.1
+    rl_auto_scale: bool = True
+    rl_auto_scale_target: float = 0.1
+    rl_safety_exact_drop: float = 0.02
+    rl_safety_check_interval: int = 5
+    rl_temperature_start: float = 1.2
+    rl_temperature_end: float = 0.5
+    rl_temperature_decay_epochs: int = 50
+
+    # physics-Z scheduling (reference: :842-883)
+    use_physics_z: bool = True
+    physics_z_auto_reactivate: bool = True
+    physics_z_reactivation_min_exact: float = 0.85
+    physics_z_reactivation_window: int = 20
+    physics_z_reactivation_plateau_threshold: float = 0.005
+    physics_z_reactivation_force_exact: float = 0.95
+    physics_z_warmup_epochs: int = 20
+    physics_z_regression_threshold: float = 0.02
+    physics_z_regression_check_interval: int = 5
+    physics_z_weight_floor: float = 0.1
+    physics_z_weight: float = 1.0
+
+    # smart loss skipping (reference: :614-636)
+    loss_skip_enabled: bool = True
+    loss_skip_frequency: int = 4
+    loss_skip_schedule: Tuple[Tuple[str, float, float], ...] = (
+        ('magpie_loss', 0.1, 0.1),
+        ('tc_class_loss', 0.5, 0.2),
+        ('physics_z_loss', 0.5, 0.2),
+        ('hp_loss', 0.3, 0.1),
+        ('sc_loss', 0.3, 0.1),
+        ('stop_loss', 0.1, 0.1),
+        ('site_dup_loss', 0.01, 0.05),
+        ('family_loss', 0.5, 0.2),
+    )
+
+    # catastrophic drop detection (reference: :6790+ and epoch loop)
+    disable_drop_detection: bool = False
+    drop_threshold: float = 0.10        # exact-match drop triggering rollback
+    max_rollbacks: int = 3
+    rollback_grace_epochs: int = 5
+
+    # entropy maintenance (reference: :714-721)
+    entropy_strategy: str = 'causal'
+    entropy_target: float = 0.5
+    entropy_min: float = 0.1
+    entropy_weight_min: float = 0.05
+    entropy_weight_max: float = 1.0
+    entropy_plateau_window: int = 10
+    entropy_plateau_threshold: float = 0.01
+
+    # Tc-bin head snapshot/restore (reference: :829-832)
+    tc_bin_tracker_enabled: bool = True
+    tc_bin_regression_threshold: float = 0.10
+
+    # data / sampling
+    contrastive_mode: bool = True
+    balanced_sampling: bool = True
+    oversample_hard_sequences: bool = True
+    oversample_high_tc: bool = True
+
+    # phase 2 (reference: :1024-1049)
+    phase2_enabled: bool = False
+    phase2_auto_min_exact: float = 0.80
+    phase2_interval: int = 2
+    phase2_max_weight: float = 0.1
+    phase2_warmup: int = 50
+    phase2_n_samples: int = 64
+    phase2_lr_factor: float = 0.1
+
+    # sub-configs
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    rl: RLConfig = dataclasses.field(default_factory=RLConfig)
+
+    # generation defaults for eval (reference: :789-791)
+    stop_boost: float = 10.0
+    hard_stop_threshold: float = 0.8
+    site_dup_threshold: float = 0.0
+    use_type_masking_ar: bool = True

@@ -1,0 +1,150 @@
+"""True autoregressive evaluation — batched greedy KV-cache decode.
+
+Capability parity with the reference's ``evaluate_true_autoregressive``
+(reference: scripts/train_v12_clean.py:4431-5073): true exact match vs
+teacher-forced exact match, per-sample error records, Tc R² per Kelvin bin,
+z-norm diagnostics.  The whole eval decode is one jitted batched rollout per
+batch instead of the reference's Python generation loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import DatasetArrays, NormStats
+from ..generation import GenerationConfig, generate_with_kv_cache
+from ..models import MaterialsEncoder, FormulaDecoder
+from ..tokenizer import FractionAwareTokenizer, EOS_ID, PAD_ID
+from .config import TrainConfig
+from .train_step import stoich_conditioning
+
+TC_BINS = ((0, 10), (10, 50), (50, 100), (100, 120), (120, 200), (200, 1000))
+
+
+def _exact_match(generated: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """Per-sample: generated token stream equals target up to/incl. EOS."""
+    b, t = targets.shape
+    out = np.zeros(b, bool)
+    for i in range(b):
+        tgt = targets[i]
+        end = np.where(tgt == EOS_ID)[0]
+        end = int(end[0]) if len(end) else t
+        g = generated[i][:end + 1] if generated.shape[1] > end else generated[i]
+        out[i] = (len(g) >= end + 1) and (g[:end + 1] == tgt[:end + 1]).all()
+    return out
+
+
+def evaluate_autoregressive(
+    encoder: MaterialsEncoder, decoder: FormulaDecoder,
+    enc_params, dec_params,
+    ds: DatasetArrays,
+    tcfg: TrainConfig,
+    luts: Dict[str, jnp.ndarray],
+    tokenizer: Optional[FractionAwareTokenizer] = None,
+    batch_size: int = 256,
+    max_batches: Optional[int] = None,
+    collect_errors: bool = False,
+) -> Dict[str, object]:
+    gcfg = GenerationConfig(
+        max_len=decoder.cfg.max_len, temperature=0.0,
+        stop_boost=tcfg.stop_boost,
+        hard_stop_threshold=tcfg.hard_stop_threshold,
+        site_dup_threshold=tcfg.site_dup_threshold,
+        use_type_masking=tcfg.use_type_masking_ar)
+    type_masks = luts['type_masks'] if tcfg.use_type_masking_ar else None
+
+    @jax.jit
+    def eval_batch(batch):
+        enc_out = encoder.apply(
+            enc_params, batch['element_indices'], batch['element_fractions'],
+            batch['element_mask'], batch['magpie'], batch['tc'])
+        heads_vec = encoder.apply(
+            enc_params, enc_out, method=MaterialsEncoder.heads_pred_for_decoder)
+        stoich = stoich_conditioning(batch)
+        gen = generate_with_kv_cache(
+            decoder, dec_params, enc_out['z'], stoich, heads_vec,
+            jax.random.PRNGKey(0), gcfg, type_masks=type_masks)
+        # TF path for TF-exact comparison
+        dec_out = decoder.apply(dec_params, enc_out['z'], batch['tokens'],
+                                stoich, heads_vec)
+        return {
+            'generated': gen['tokens'],
+            'tf_pred': dec_out['generated'],
+            'tc_pred': enc_out['tc_pred'],
+            'sc_pred': enc_out['sc_pred'],
+            'z_norm': jnp.linalg.norm(enc_out['z'], axis=1),
+            'family_composed_14': enc_out['family_composed_14'],
+        }
+
+    n = len(ds)
+    nb = -(-n // batch_size)
+    if max_batches:
+        nb = min(nb, max_batches)
+
+    ar_exact, tf_exact = [], []
+    tc_preds, tc_trues, z_norms = [], [], []
+    fam_correct = []
+    errors: List[dict] = []
+
+    for b in range(nb):
+        idx = np.arange(b * batch_size, min((b + 1) * batch_size, n))
+        pad_n = batch_size - len(idx)
+        full_idx = np.concatenate([idx, np.zeros(pad_n, np.int64)]) if pad_n else idx
+        batch = {k: jnp.asarray(v) for k, v in ds.batch(full_idx).items()}
+        out = jax.tree.map(np.asarray, eval_batch(batch))
+        m = len(idx)
+
+        targets = ds.tokens[idx][:, 1:]
+        ar = _exact_match(out['generated'][:m], targets)
+        mask = targets != PAD_ID
+        tf = ((out['tf_pred'][:m] == targets) | ~mask).all(axis=1)
+        ar_exact.append(ar)
+        tf_exact.append(tf)
+        tc_preds.append(out['tc_pred'][:m])
+        tc_trues.append(ds.tc[idx])
+        z_norms.append(out['z_norm'][:m])
+        coarse_pred = out['family_composed_14'][:m].argmax(axis=1)
+        fam_correct.append(coarse_pred == ds.family[idx])
+
+        if collect_errors and tokenizer is not None:
+            for i in np.where(~ar)[0]:
+                errors.append({
+                    'formula': ds.formulas[idx[i]],
+                    'generated': tokenizer.decode(out['generated'][i]),
+                    'tc_kelvin': float(ds.norm_stats.tc_to_kelvin(
+                        np.array([ds.tc[idx[i]]]))[0]),
+                    'z_norm': float(out['z_norm'][i]),
+                    'family': int(ds.family[idx[i]]),
+                })
+
+    ar_exact = np.concatenate(ar_exact)
+    tf_exact = np.concatenate(tf_exact)
+    tc_pred = np.concatenate(tc_preds)
+    tc_true = np.concatenate(tc_trues)
+    z_norm = np.concatenate(z_norms)
+
+    k_pred = ds.norm_stats.tc_to_kelvin(tc_pred)
+    k_true = ds.norm_stats.tc_to_kelvin(tc_true)
+    r2_per_bin = {}
+    for lo, hi in TC_BINS:
+        sel = (k_true >= lo) & (k_true < hi)
+        if sel.sum() >= 5:
+            ss_res = ((k_pred[sel] - k_true[sel]) ** 2).sum()
+            ss_tot = ((k_true[sel] - k_true[sel].mean()) ** 2).sum()
+            r2_per_bin[f'{lo}-{hi}K'] = float(1 - ss_res / max(ss_tot, 1e-8))
+    tc_mae = float(np.abs(k_pred - k_true).mean())
+
+    return {
+        'ar_exact': float(ar_exact.mean()),
+        'tf_exact': float(tf_exact.mean()),
+        'tc_mae_kelvin': tc_mae,
+        'tc_r2_per_bin': r2_per_bin,
+        'z_norm_mean': float(z_norm.mean()),
+        'family_coarse_acc': float(np.concatenate(fam_correct).mean()),
+        'n_evaluated': int(len(ar_exact)),
+        'error_records': errors,
+    }

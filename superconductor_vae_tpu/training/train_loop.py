@@ -1,0 +1,235 @@
+"""Training driver: the host loop around the jitted step.
+
+Capability parity with the reference's ``train()`` entry
+(reference: scripts/train_v12_clean.py:5926-7800): data loading + weighted
+sampling, model/optimizer creation, per-epoch scheduler decisions (curriculum,
+RL, physics-Z, loss skipping, entropy, drop rollback), cadence-based true-AR
+evaluation, CSV metric logging, and best/interval checkpointing.
+
+The device never sees the controllers: every decision flows into the step as
+traced scalars (train_step.default_dyn) or as host-side param surgery
+(rollback, Tc-bin restore).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import (
+    DatasetArrays, WeightedEpochSampler, compute_sample_weights, load_dataset,
+    synthetic_dataset,
+)
+from ..models.config import ModelConfig
+from ..parallel import make_mesh, shard_batch
+from ..tokenizer import default_tokenizer
+from .config import TrainConfig
+from .evaluate import evaluate_autoregressive
+from .schedulers import (
+    DropDetector, EntropyManager, LossSkipScheduler, PhysZController,
+    RLController, TcBinTracker, cosine_lr, curriculum_weights,
+    teacher_forcing_ratio,
+)
+from .train_step import (
+    build_luts, create_train_state, default_dyn, make_train_step,
+    set_learning_rate,
+)
+
+
+def train(
+    csv_path: Optional[str] = None,
+    model_config: Optional[ModelConfig] = None,
+    train_config: Optional[TrainConfig] = None,
+    output_dir: str = 'outputs',
+    limit: Optional[int] = None,
+    dataset: Optional[DatasetArrays] = None,
+    use_mesh: bool = True,
+    log_fn=print,
+) -> Dict[str, object]:
+    tcfg = train_config or TrainConfig()
+    out_dir = Path(output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # ---- data --------------------------------------------------------------
+    tokenizer = default_tokenizer(max_len=tcfg.max_formula_len)
+    if dataset is not None:
+        ds = dataset
+    elif csv_path:
+        ds = load_dataset(csv_path, max_len=tcfg.max_formula_len,
+                          tokenizer=tokenizer, limit=limit,
+                          cache_dir=out_dir / 'data_cache')
+    else:
+        ds = synthetic_dataset(n=limit or 512, max_len=tcfg.max_formula_len)
+
+    import dataclasses as _dc
+    mcfg = model_config or ModelConfig(magpie_dim=ds.magpie_dim,
+                                       max_len=tcfg.max_formula_len)
+    if mcfg.magpie_dim != ds.magpie_dim:
+        mcfg = _dc.replace(mcfg, magpie_dim=ds.magpie_dim)
+    # loss needs the dataset's Tc normalization for Kelvin-space weighting
+    tcfg.loss = _dc.replace(
+        tcfg.loss, tc_mean=float(ds.norm_stats.tc_mean),
+        tc_std=float(ds.norm_stats.tc_std),
+        tc_log_transform=bool(ds.norm_stats.tc_log_transform))
+
+    weights = compute_sample_weights(
+        ds, balanced=tcfg.balanced_sampling,
+        oversample_hard=tcfg.oversample_hard_sequences,
+        oversample_high_tc=tcfg.oversample_high_tc)
+    batch_size = min(tcfg.batch_size, len(ds))
+    sampler = WeightedEpochSampler(weights, batch_size=batch_size,
+                                   seed=tcfg.seed)
+
+    # ---- models / state ----------------------------------------------------
+    rng = jax.random.PRNGKey(tcfg.seed)
+    encoder, decoder, state, tx_enc, tx_dec = create_train_state(
+        mcfg, tcfg, rng)
+    luts = build_luts(tokenizer)
+
+    mesh = make_mesh() if use_mesh else None
+
+    steps = {}
+
+    def get_step(rl_enabled: bool):
+        if rl_enabled not in steps:
+            steps[rl_enabled] = make_train_step(
+                encoder, decoder, tcfg, tx_enc, tx_dec, luts,
+                rl_enabled=rl_enabled)
+        return steps[rl_enabled]
+
+    # ---- controllers -------------------------------------------------------
+    rl_ctl = RLController(tcfg)
+    pz_ctl = PhysZController(tcfg)
+    skip_ctl = LossSkipScheduler(tcfg)
+    drop_ctl = DropDetector(tcfg)
+    ent_mgr = EntropyManager(tcfg)
+    tc_tracker = TcBinTracker(tcfg)
+
+    best_exact = 0.0
+    best_params = None
+    last_metrics: Optional[Dict[str, float]] = None
+    last_ar_exact = 0.0
+    history = []
+    step_rng = jax.random.PRNGKey(tcfg.seed + 1)
+
+    csv_path_out = out_dir / 'training_metrics.csv'
+    csv_fields = ['epoch', 'total', 'formula_loss', 'tc_loss', 'exact_match',
+                  'token_accuracy', 'true_ar_exact', 'rl_weight',
+                  'physz_weight', 'lr', 'entropy', 'mean_reward',
+                  'epoch_time_s', 'samples_per_s']
+
+    with open(csv_path_out, 'w', newline='') as f:
+        csv.DictWriter(f, fieldnames=csv_fields).writeheader()
+
+    for epoch in range(tcfg.num_epochs):
+        t0 = time.time()
+        tf_exact = last_metrics.get('exact_match', 0.0) if last_metrics else 0.0
+
+        # controller decisions for this epoch
+        tc_w, mg_w = curriculum_weights(epoch, tcfg)
+        rl_w = rl_ctl.epoch_update(
+            epoch, tf_exact, last_ar_exact,
+            raw_rl_loss=last_metrics.get('reinforce_loss') if last_metrics else None)
+        pz_w = pz_ctl.epoch_update(epoch, tf_exact)
+        skip_m = skip_ctl.multipliers(epoch, last_metrics)
+        ent_w = (ent_mgr.update(last_metrics.get('mean_reward', 0.0),
+                                last_metrics.get('entropy', 1.0))
+                 if last_metrics else tcfg.rl.entropy_weight)
+        tf_ratio = teacher_forcing_ratio(tf_exact, tcfg)  # logged; TF path fixed
+        lr = cosine_lr(epoch, tcfg) * drop_ctl.lr_scale
+        state = state.replace(enc_opt=set_learning_rate(state.enc_opt, lr),
+                              dec_opt=set_learning_rate(state.dec_opt, lr))
+
+        dyn = default_dyn(tcfg)
+        dyn.update({
+            'tc_w': jnp.asarray(tc_w), 'magpie_w': jnp.asarray(mg_w),
+            'rl_w': jnp.asarray(rl_w), 'physz_w': jnp.asarray(pz_w),
+            'rl_temperature': jnp.asarray(max(rl_ctl.temperature(epoch), 0.011)),
+            'entropy_weight': jnp.asarray(ent_w),
+        })
+        dyn.update({k: jnp.asarray(v) for k, v in skip_m.items()})
+
+        step_fn = get_step(rl_enabled=rl_w > 0)
+
+        # epoch over weighted batches
+        sums: Dict[str, float] = {}
+        n_batches = 0
+        n_samples = 0
+        for batch_idx in sampler.epoch(epoch):
+            batch = ds.batch(batch_idx)
+            batch = (shard_batch(batch, mesh) if mesh is not None
+                     else {k: jnp.asarray(v) for k, v in batch.items()})
+            step_rng, sub = jax.random.split(step_rng)
+            state, metrics = step_fn(state, batch, sub, dyn)
+            n_batches += 1
+            n_samples += len(batch_idx)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        last_metrics = {k: v / max(n_batches, 1) for k, v in sums.items()}
+        epoch_time = time.time() - t0
+
+        # cadence: true-AR eval
+        eval_out = None
+        if (epoch + 1) % tcfg.eval_interval == 0 or epoch == tcfg.num_epochs - 1:
+            eval_out = evaluate_autoregressive(
+                encoder, decoder, state.enc_params, state.dec_params, ds,
+                tcfg, luts, tokenizer=tokenizer,
+                batch_size=batch_size, max_batches=4)
+            last_ar_exact = eval_out['ar_exact']
+            # Tc-bin tracker acts on high-Tc bins
+            bins = eval_out['tc_r2_per_bin']
+            high = [v for k, v in bins.items()
+                    if k in ('120-200K', '200-1000K')]
+            if high:
+                new_enc = tc_tracker.update(state.enc_params, float(np.mean(high)))
+                if new_enc is not state.enc_params:
+                    state = state.replace(enc_params=new_enc)
+
+        # drop detection / rollback
+        exact = last_metrics.get('exact_match', 0.0)
+        if drop_ctl.check(epoch, exact) and best_params is not None:
+            state = state.replace(enc_params=best_params[0],
+                                  dec_params=best_params[1])
+            log_fn(f'[rollback] epoch {epoch}: exact {exact:.3f} collapsed; '
+                   f'restored best, lr_scale={drop_ctl.lr_scale}')
+        elif exact > best_exact:
+            best_exact = exact
+            best_params = (state.enc_params, state.dec_params)
+
+        row = {
+            'epoch': epoch, 'total': last_metrics.get('total', 0.0),
+            'formula_loss': last_metrics.get('formula_loss', 0.0),
+            'tc_loss': last_metrics.get('tc_loss', 0.0),
+            'exact_match': exact,
+            'token_accuracy': last_metrics.get('token_accuracy', 0.0),
+            'true_ar_exact': last_ar_exact, 'rl_weight': rl_w,
+            'physz_weight': pz_w, 'lr': lr,
+            'entropy': last_metrics.get('entropy', 0.0),
+            'mean_reward': last_metrics.get('mean_reward', 0.0),
+            'epoch_time_s': round(epoch_time, 3),
+            'samples_per_s': round(n_samples / max(epoch_time, 1e-6), 1),
+        }
+        history.append(row)
+        with open(csv_path_out, 'a', newline='') as f:
+            csv.DictWriter(f, fieldnames=csv_fields).writerow(row)
+        log_fn(f"epoch {epoch}: loss={row['total']:.4f} "
+               f"exact={exact:.3f} tok_acc={row['token_accuracy']:.3f} "
+               f"ar={last_ar_exact:.3f} {row['samples_per_s']}/s tf={tf_ratio}")
+
+        if (epoch + 1) % tcfg.checkpoint_interval == 0:
+            from ..checkpoint import save_checkpoint
+            save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
+                            epoch=epoch, metrics=row)
+
+    return {
+        'state': state, 'encoder': encoder, 'decoder': decoder,
+        'dataset': ds, 'history': history, 'luts': luts,
+        'model_config': mcfg, 'tokenizer': tokenizer,
+    }

@@ -1,0 +1,207 @@
+"""Jitted multi-task train step, data-parallel over a device mesh.
+
+Replaces the reference's eager per-batch loop body
+(reference: scripts/train_v12_clean.py:5074-5925 ``train_epoch``) with ONE
+compiled program per step: encoder forward, decoder TF forward, optional
+SCST/RLOO rollouts, 17-term loss, gradients, and two AdamW updates — all
+under ``jax.jit`` with donated state.  Parameters are replicated and batches
+sharded on the mesh ``data`` axis; GSPMD inserts the gradient all-reduce over
+ICI (the reference has no distributed path at all, SURVEY.md §2.10).
+
+Host-scheduler decisions (curriculum weights, loss skipping, RL weight /
+temperature / entropy weight, physics-Z weight, learning-rate scale) enter as
+a dict of TRACED scalars so per-epoch changes never recompile.  The only
+recompile boundary is ``rl_enabled`` (rollouts on/off), which changes the
+program structure.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models import MaterialsEncoder, FormulaDecoder
+from ..models.config import ModelConfig
+from ..ops.losses import LossConfig, multitask_loss
+from ..ops.physics_z_loss import physics_z_loss
+from ..ops.rl import RLConfig, rloo_loss, scst_loss
+from ..tokenizer import FractionAwareTokenizer
+from .config import TrainConfig
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    enc_params: Any
+    dec_params: Any
+    enc_opt: Any
+    dec_opt: Any
+
+
+def build_luts(tokenizer: FractionAwareTokenizer) -> Dict[str, jnp.ndarray]:
+    return {
+        'fraction_values': jnp.asarray(tokenizer.fraction_value_table),
+        'token_value_table': jnp.asarray(tokenizer.token_value_table),
+        'token_to_z': jnp.asarray(tokenizer.token_to_element_z),
+        'type_masks': jnp.asarray(tokenizer.type_masks),
+        'type_table': jnp.asarray(tokenizer.token_type_table),
+    }
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW with global-norm clipping; LR is an injected hyperparam so the
+    host LR schedule (cosine + warmup + rollback halving + migration boost)
+    updates it in the optimizer state without recompiling."""
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=tcfg.learning_rate,
+            weight_decay=tcfg.weight_decay),
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected LR in an optimizer state pytree."""
+    opt_state[1].hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def stoich_conditioning(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """[B, 13] = GT fractions(12) + element count(1).
+
+    The reference trains with stoich_cond_tf = 1.0 (always ground truth,
+    train_v12_clean.py:464); inference uses the encoder's fraction head.
+    """
+    em = batch['element_mask'].astype(jnp.float32)
+    count = em.sum(axis=1, keepdims=True)
+    return jnp.concatenate(
+        [batch['element_fractions'] * em, count], axis=1)
+
+
+def create_train_state(
+    mcfg: ModelConfig, tcfg: TrainConfig, rng: jax.Array,
+    dtype=jnp.float32,
+) -> Tuple[MaterialsEncoder, FormulaDecoder, TrainState,
+           optax.GradientTransformation, optax.GradientTransformation]:
+    encoder = MaterialsEncoder(mcfg, dtype=dtype)
+    decoder = FormulaDecoder(mcfg, dtype=dtype)
+
+    e_rng, d_rng = jax.random.split(rng)
+    b = 2
+    enc_params = encoder.init(
+        e_rng,
+        jnp.zeros((b, mcfg.max_elements), jnp.int32),
+        jnp.zeros((b, mcfg.max_elements)),
+        jnp.zeros((b, mcfg.max_elements), bool),
+        jnp.zeros((b, mcfg.magpie_dim)),
+        jnp.zeros((b,)),
+    )
+    dec_params = decoder.init(
+        d_rng,
+        jnp.zeros((b, mcfg.latent_dim)),
+        jnp.zeros((b, mcfg.max_len), jnp.int32),
+        jnp.zeros((b, mcfg.stoich_input_dim)),
+        jnp.zeros((b, mcfg.heads_input_dim)),
+    )
+    tx_enc = make_optimizer(tcfg)
+    tx_dec = make_optimizer(tcfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        enc_params=enc_params, dec_params=dec_params,
+        enc_opt=tx_enc.init(enc_params), dec_opt=tx_dec.init(dec_params),
+    )
+    return encoder, decoder, state, tx_enc, tx_dec
+
+
+def default_dyn(tcfg: TrainConfig) -> Dict[str, jnp.ndarray]:
+    return {
+        'tc_w': jnp.asarray(tcfg.tc_weight),
+        'magpie_w': jnp.asarray(tcfg.magpie_weight),
+        'rl_w': jnp.asarray(tcfg.rl_weight),
+        'physz_w': jnp.asarray(0.0),
+        'rl_temperature': jnp.asarray(tcfg.rl.temperature),
+        'entropy_weight': jnp.asarray(tcfg.rl.entropy_weight),
+        'm_magpie': jnp.asarray(1.0), 'm_tc_class': jnp.asarray(1.0),
+        'm_hp': jnp.asarray(1.0), 'm_sc': jnp.asarray(1.0),
+        'm_stop': jnp.asarray(1.0), 'm_site_dup': jnp.asarray(1.0),
+        'm_family': jnp.asarray(1.0),
+    }
+
+
+def make_train_step(
+    encoder: MaterialsEncoder,
+    decoder: FormulaDecoder,
+    tcfg: TrainConfig,
+    tx_enc: optax.GradientTransformation,
+    tx_dec: optax.GradientTransformation,
+    luts: Dict[str, jnp.ndarray],
+    rl_enabled: bool = False,
+    donate: bool = True,
+):
+    """Returns jitted ``step(state, batch, rng, dyn) -> (state, metrics)``."""
+    lcfg = tcfg.loss
+    rlcfg = tcfg.rl
+
+    def loss_fn(enc_params, dec_params, batch, rng, dyn):
+        drop_rng, rl_rng = jax.random.split(rng)
+        enc_out = encoder.apply(
+            enc_params, batch['element_indices'], batch['element_fractions'],
+            batch['element_mask'], batch['magpie'], batch['tc'],
+            deterministic=False, rngs={'dropout': drop_rng})
+        heads_vec = encoder.apply(
+            enc_params, enc_out, method=MaterialsEncoder.heads_pred_for_decoder)
+        stoich = stoich_conditioning(batch)
+        dec_out = decoder.apply(
+            dec_params, enc_out['z'], batch['tokens'], stoich, heads_vec,
+            deterministic=False, rngs={'dropout': drop_rng})
+
+        rl = None
+        reward_mean = None
+        if rl_enabled:
+            targets = batch['tokens'][:, 1:]
+            is_sc = (batch['is_sc'] == 1).astype(jnp.float32)
+            rl_fn = scst_loss if rlcfg.method == 'scst' else rloo_loss
+            kwargs = dict(
+                family_predictions=enc_out['family_composed_14'],
+                sc_weight=is_sc,
+                temperature=dyn['rl_temperature'],
+            )
+            if rlcfg.method == 'rloo':
+                kwargs['entropy_weight'] = dyn['entropy_weight']
+            rl, reward_mean, _ = rl_fn(
+                decoder, dec_params, enc_out['z'], stoich, heads_vec,
+                targets, rl_rng, rlcfg, luts, **kwargs)
+
+        pz = None
+        if tcfg.use_physics_z:
+            pz = physics_z_loss(
+                enc_out['z'], batch['comp_targets'], batch['magpie'],
+                batch['tc'])['total']
+
+        total, metrics = multitask_loss(
+            lcfg, enc_out, dec_out, batch, luts['type_table'],
+            rl_loss=rl, rl_reward_mean=reward_mean, dyn=dyn, physz_loss=pz)
+        return total, metrics
+
+    def step(state: TrainState, batch, rng, dyn):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (_, metrics), (g_enc, g_dec) = grad_fn(
+            state.enc_params, state.dec_params, batch, rng, dyn)
+        upd_e, new_eopt = tx_enc.update(g_enc, state.enc_opt, state.enc_params)
+        upd_d, new_dopt = tx_dec.update(g_dec, state.dec_opt, state.dec_params)
+        new_state = state.replace(
+            step=state.step + 1,
+            enc_params=optax.apply_updates(state.enc_params, upd_e),
+            dec_params=optax.apply_updates(state.dec_params, upd_d),
+            enc_opt=new_eopt, dec_opt=new_dopt,
+        )
+        metrics['grad_norm'] = optax.global_norm((g_enc, g_dec))
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,184 @@
+"""End-to-end training tests on the tiny config + virtual 8-device mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superconductor_vae_tpu.data import synthetic_dataset
+from superconductor_vae_tpu.models.config import tiny_test_config
+from superconductor_vae_tpu.training import TrainConfig, train
+from superconductor_vae_tpu.training.schedulers import (
+    DropDetector, EntropyManager, LossSkipScheduler, PhysZController,
+    RLController, cosine_lr, curriculum_weights, teacher_forcing_ratio,
+)
+
+
+def small_train_config(**kw):
+    cfg = TrainConfig(
+        num_epochs=2, batch_size=16, max_formula_len=16,
+        eval_interval=1, checkpoint_interval=1000,
+        learning_rate=1e-3, use_physics_z=False)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_train_smoke(tmp_path):
+    mcfg = tiny_test_config()
+    ds = synthetic_dataset(n=64, max_len=mcfg.max_len,
+                           magpie_dim=mcfg.magpie_dim)
+    out = train(model_config=mcfg, train_config=small_train_config(),
+                dataset=ds, output_dir=tmp_path, use_mesh=True,
+                log_fn=lambda *a: None)
+    hist = out['history']
+    assert len(hist) == 2
+    for row in hist:
+        assert np.isfinite(row['total'])
+        assert row['samples_per_s'] > 0
+    # metrics CSV written
+    assert (tmp_path / 'training_metrics.csv').exists()
+    # loss should decrease at lr=1e-3 on a tiny dataset
+    assert hist[-1]['total'] < hist[0]['total'] * 1.5
+
+
+def test_train_on_mesh_uses_devices():
+    assert len(jax.devices()) == 8  # virtual CPU mesh from conftest
+
+
+def test_physics_z_path(tmp_path):
+    """Physics-Z wiring: latent_dim must cover the 512 supervised coords."""
+    mcfg = dataclasses.replace(tiny_test_config(), latent_dim=2048)
+    ds = synthetic_dataset(n=32, max_len=mcfg.max_len,
+                           magpie_dim=mcfg.magpie_dim)
+    cfg = small_train_config(num_epochs=1, use_physics_z=True)
+    cfg.physics_z_auto_reactivate = False
+    out = train(model_config=mcfg, train_config=cfg, dataset=ds,
+                output_dir=tmp_path, use_mesh=False, log_fn=lambda *a: None)
+    assert np.isfinite(out['history'][0]['total'])
+
+
+class TestSchedulers:
+    def test_curriculum(self):
+        cfg = TrainConfig()
+        tc0, mg0 = curriculum_weights(0, cfg)
+        tc_mid, _ = curriculum_weights(15, cfg)
+        tc_end, mg_end = curriculum_weights(100, cfg)
+        assert tc0 == 5.0 and tc0 < tc_mid < tc_end == cfg.tc_weight
+        assert mg_end == cfg.magpie_weight
+
+    def test_tf_ratio(self):
+        cfg = TrainConfig(tf_locked=False)
+        assert teacher_forcing_ratio(0.5, cfg) == 1.0
+        assert teacher_forcing_ratio(0.9, cfg) < 1.0
+        assert teacher_forcing_ratio(1.0, cfg) == pytest.approx(cfg.tf_floor)
+        locked = TrainConfig(tf_locked=True)
+        assert teacher_forcing_ratio(0.99, locked) == 1.0
+
+    def test_cosine_lr(self):
+        cfg = TrainConfig(num_epochs=100, learning_rate=1e-3)
+        assert cosine_lr(0, cfg) == pytest.approx(1e-3)
+        assert cosine_lr(100, cfg) == pytest.approx(1e-5, rel=0.01)
+
+    def test_rl_controller_reactivation(self):
+        cfg = TrainConfig(rl_weight=0.0, rl_min_ar_exact=0.0,
+                          rl_reactivation_window=3,
+                          rl_auto_scale=False, rl_warmup_epochs=2)
+        ctl = RLController(cfg)
+        # plateau at high exact -> activates
+        ws = [ctl.epoch_update(e, 0.85, 0.5) for e in range(6)]
+        assert ws[0] == 0.0
+        assert ctl.active
+        assert ws[-1] > 0.0
+
+    def test_rl_force_activation(self):
+        cfg = TrainConfig(rl_weight=0.0, rl_min_ar_exact=0.0,
+                          rl_auto_scale=False, rl_warmup_epochs=0)
+        ctl = RLController(cfg)
+        w = ctl.epoch_update(0, 0.95, 0.9)  # above force threshold
+        assert ctl.active and w == cfg.rl_reactivation_weight
+
+    def test_rl_safety_halves(self):
+        cfg = TrainConfig(rl_weight=1.0, rl_auto_scale=False,
+                          rl_warmup_epochs=0, rl_safety_check_interval=1)
+        ctl = RLController(cfg)
+        ctl.epoch_update(0, 0.90, 0.9)
+        w = ctl.epoch_update(1, 0.80, 0.9)  # 10% drop > 2% threshold
+        assert w == pytest.approx(0.5)
+
+    def test_physz_guard(self):
+        cfg = TrainConfig(physics_z_reactivation_window=2,
+                          physics_z_warmup_epochs=1,
+                          physics_z_regression_check_interval=1)
+        ctl = PhysZController(cfg)
+        for e in range(3):
+            ctl.epoch_update(e, 0.86)
+        assert ctl.active
+        # regression: exact drops > 2% from activation -> weight halves
+        w_before = ctl.weight
+        ctl.epoch_update(3, 0.80)
+        assert ctl.weight < w_before
+
+    def test_loss_skipping(self):
+        cfg = TrainConfig(loss_skip_frequency=4)
+        ctl = LossSkipScheduler(cfg)
+        m0 = ctl.multipliers(0, None)
+        assert all(v == 1.0 for v in m0.values())
+        # converged hp_loss -> skipped on non-check epochs
+        metrics = {'hp_loss': 0.01}
+        ctl.multipliers(1, metrics)
+        m2 = ctl.multipliers(2, metrics)
+        assert m2['m_hp'] == 0.0
+        m4 = ctl.multipliers(4, metrics)  # check epoch -> computed
+        assert m4['m_hp'] == 1.0
+        # spike resumes computation
+        ctl.multipliers(4, {'hp_loss': 0.5})
+        m5 = ctl.multipliers(5, {'hp_loss': 0.5})
+        assert m5['m_hp'] == 1.0
+
+    def test_drop_detector(self):
+        cfg = TrainConfig(drop_threshold=0.10, max_rollbacks=2)
+        ctl = DropDetector(cfg)
+        assert not ctl.check(0, 0.5)
+        assert ctl.check(1, 0.3)           # 20% drop
+        assert ctl.lr_scale == 0.5
+        # grace period suppresses retrigger
+        assert not ctl.check(2, 0.1)
+
+    def test_entropy_manager_causal(self):
+        cfg = TrainConfig(entropy_plateau_window=3)
+        mgr = EntropyManager(cfg)
+        # plateaued reward + low entropy -> boost
+        w0 = mgr.weight
+        for _ in range(4):
+            w = mgr.update(mean_reward=10.0, mean_entropy=0.05)
+        assert w > w0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from superconductor_vae_tpu.checkpoint import (
+        save_checkpoint, load_checkpoint, latest_checkpoint,
+        check_manifest_drift,
+    )
+    from superconductor_vae_tpu.training.train_step import create_train_state
+    mcfg = tiny_test_config()
+    tcfg = small_train_config()
+    _, _, state, _, _ = create_train_state(mcfg, tcfg, jax.random.PRNGKey(0))
+    save_checkpoint(tmp_path, state, mcfg, tcfg, epoch=3,
+                    metrics={'exact_match': 0.5})
+    path = latest_checkpoint(tmp_path)
+    assert path is not None
+    restored, meta = load_checkpoint(path)
+    assert meta['epoch'] == 3
+    assert check_manifest_drift(meta['manifest'], mcfg, tcfg) == []
+    # params identical
+    orig = jax.tree.leaves(state.enc_params)
+    rest = jax.tree.leaves(restored['enc_params'])
+    for a, b in zip(orig, rest):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # drift detection fires on architecture change
+    import dataclasses
+    mcfg2 = dataclasses.replace(mcfg, d_model=64)
+    assert check_manifest_drift(meta['manifest'], mcfg2, tcfg)

@@ -35,12 +35,13 @@ def save_checkpoint(root: str | Path, state, mcfg: ModelConfig, tcfg,
     root.mkdir(parents=True, exist_ok=True)
     path = root / tag if tag else _ckpt_dir(root, epoch)
 
+    payload = {'step': state.step,
+               'enc_params': state.enc_params,
+               'dec_params': state.dec_params}
+    if getattr(state, 'set_params', None) is not None:
+        payload['set_params'] = state.set_params
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path / 'state', jax.device_get(
-            {'step': state.step,
-             'enc_params': state.enc_params,
-             'dec_params': state.dec_params}),
-            force=True)
+        ckptr.save(path / 'state', jax.device_get(payload), force=True)
 
     meta = {
         'epoch': epoch,

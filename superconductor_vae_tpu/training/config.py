@@ -122,6 +122,19 @@ class TrainConfig:
     phase2_n_samples: int = 64
     phase2_lr_factor: float = 0.1
 
+    # V16 Hungarian set decoder (reference: :1068-1086)
+    hungarian_enabled: bool = True
+    hungarian_loss_weight: float = 1.0
+    hungarian_element_weight: float = 1.0
+    hungarian_fraction_weight: float = 5.0
+    hungarian_no_object_weight: float = 0.1
+    hungarian_presence_weight: float = 1.0
+    hungarian_mode: str = 'parallel'    # 'parallel' | 'set_only' (detach z)
+    hungarian_d_model: int = 512
+    hungarian_num_layers: int = 3
+    hungarian_dim_feedforward: int = 1024
+    hungarian_n_z_tokens: int = 4
+
     # sub-configs
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     rl: RLConfig = dataclasses.field(default_factory=RLConfig)

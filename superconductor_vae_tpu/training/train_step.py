@@ -41,6 +41,8 @@ class TrainState(struct.PyTreeNode):
     dec_params: Any
     enc_opt: Any
     dec_opt: Any
+    set_params: Any = None     # V16 Hungarian set decoder (parallel path)
+    set_opt: Any = None
 
 
 def build_luts(tokenizer: FractionAwareTokenizer) -> Dict[str, jnp.ndarray]:
@@ -90,6 +92,8 @@ def create_train_state(
            optax.GradientTransformation, optax.GradientTransformation]:
     encoder = MaterialsEncoder(mcfg, dtype=dtype)
     decoder = FormulaDecoder(mcfg, dtype=dtype)
+    set_decoder = make_set_decoder(mcfg, tcfg, dtype) \
+        if tcfg.hungarian_enabled else None
 
     e_rng, d_rng = jax.random.split(rng)
     b = 2
@@ -108,14 +112,34 @@ def create_train_state(
         jnp.zeros((b, mcfg.stoich_input_dim)),
         jnp.zeros((b, mcfg.heads_input_dim)),
     )
+    set_params = None
+    set_opt = None
     tx_enc = make_optimizer(tcfg)
     tx_dec = make_optimizer(tcfg)
+    if set_decoder is not None:
+        set_params = set_decoder.init(
+            jax.random.fold_in(rng, 2), jnp.zeros((b, mcfg.latent_dim)))
+        set_opt = tx_dec.init(set_params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         enc_params=enc_params, dec_params=dec_params,
         enc_opt=tx_enc.init(enc_params), dec_opt=tx_dec.init(dec_params),
+        set_params=set_params, set_opt=set_opt,
     )
     return encoder, decoder, state, tx_enc, tx_dec
+
+
+def make_set_decoder(mcfg: ModelConfig, tcfg: TrainConfig, dtype=jnp.float32):
+    from ..models.set_decoder import SetFormulaDecoder
+    return SetFormulaDecoder(
+        latent_dim=mcfg.latent_dim,
+        d_model=tcfg.hungarian_d_model,
+        num_layers=tcfg.hungarian_num_layers,
+        dim_feedforward=tcfg.hungarian_dim_feedforward,
+        n_slots=mcfg.max_elements,
+        n_z_tokens=tcfg.hungarian_n_z_tokens,
+        dtype=dtype,
+    )
 
 
 def default_dyn(tcfg: TrainConfig) -> Dict[str, jnp.ndarray]:
@@ -146,8 +170,10 @@ def make_train_step(
     """Returns jitted ``step(state, batch, rng, dyn) -> (state, metrics)``."""
     lcfg = tcfg.loss
     rlcfg = tcfg.rl
+    set_decoder = (make_set_decoder(decoder.cfg, tcfg, decoder.dtype)
+                   if tcfg.hungarian_enabled else None)
 
-    def loss_fn(enc_params, dec_params, batch, rng, dyn):
+    def loss_fn(enc_params, dec_params, set_params, batch, rng, dyn):
         drop_rng, rl_rng = jax.random.split(rng)
         enc_out = encoder.apply(
             enc_params, batch['element_indices'], batch['element_fractions'],
@@ -186,13 +212,44 @@ def make_train_step(
         total, metrics = multitask_loss(
             lcfg, enc_out, dec_out, batch, luts['type_table'],
             rl_loss=rl, rl_reward_mean=reward_mean, dyn=dyn, physz_loss=pz)
+
+        # V16 Hungarian set decoder — parallel path on the same z
+        if set_decoder is not None:
+            z_for_set = (jax.lax.stop_gradient(enc_out['z'])
+                         if tcfg.hungarian_mode == 'set_only' else enc_out['z'])
+            set_out = set_decoder.apply(
+                set_params, z_for_set, deterministic=False,
+                rngs={'dropout': drop_rng})
+            from ..ops.hungarian import hungarian_matching_loss
+            h = hungarian_matching_loss(
+                set_out['element_logits'], set_out['fraction_pred'],
+                set_out['presence_logits'], batch['element_indices'],
+                batch['element_fractions'], batch['element_mask'],
+                element_weight=tcfg.hungarian_element_weight,
+                fraction_weight=tcfg.hungarian_fraction_weight,
+                no_object_weight=tcfg.hungarian_no_object_weight,
+                presence_weight=tcfg.hungarian_presence_weight)
+            total = total + tcfg.hungarian_loss_weight * h['total']
+            metrics['hungarian_loss'] = h['total']
+            metrics['set_element_accuracy'] = h['element_accuracy']
+            metrics['set_exact'] = h['set_exact']
+            metrics['total'] = total
         return total, metrics
 
     def step(state: TrainState, batch, rng, dyn):
         rng = jax.random.fold_in(rng, state.step)
-        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
-        (_, metrics), (g_enc, g_dec) = grad_fn(
-            state.enc_params, state.dec_params, batch, rng, dyn)
+        if set_decoder is not None:
+            grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
+                                         has_aux=True)
+            (_, metrics), (g_enc, g_dec, g_set) = grad_fn(
+                state.enc_params, state.dec_params, state.set_params,
+                batch, rng, dyn)
+        else:
+            grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                         has_aux=True)
+            (_, metrics), (g_enc, g_dec) = grad_fn(
+                state.enc_params, state.dec_params, None, batch, rng, dyn)
+            g_set = None
         upd_e, new_eopt = tx_enc.update(g_enc, state.enc_opt, state.enc_params)
         upd_d, new_dopt = tx_dec.update(g_dec, state.dec_opt, state.dec_params)
         new_state = state.replace(
@@ -201,6 +258,12 @@ def make_train_step(
             dec_params=optax.apply_updates(state.dec_params, upd_d),
             enc_opt=new_eopt, dec_opt=new_dopt,
         )
+        if g_set is not None:
+            upd_s, new_sopt = tx_dec.update(g_set, state.set_opt,
+                                            state.set_params)
+            new_state = new_state.replace(
+                set_params=optax.apply_updates(state.set_params, upd_s),
+                set_opt=new_sopt)
         metrics['grad_norm'] = optax.global_norm((g_enc, g_dec))
         return new_state, metrics
 

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Holdout generative search CLI.
+
+Equivalent of the reference's scripts/holdout/holdout_search_targeted.py:778.
+
+Usage:
+    python scripts/holdout_search.py --checkpoint outputs/checkpoints/best \
+        --csv /root/reference/data/processed/new_sc_datasets.csv --budget 200
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--checkpoint', required=True)
+    p.add_argument('--csv',
+                   default='/root/reference/data/processed/new_sc_datasets.csv')
+    p.add_argument('--budget', type=int, default=200)
+    p.add_argument('--n-targets', type=int, default=None)
+    p.add_argument('--cpu', action='store_true')
+    p.add_argument('--out', default='outputs/holdout_results.json')
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    import jax.numpy as jnp
+    from superconductor_vae_tpu.checkpoint import load_checkpoint
+    from superconductor_vae_tpu.data import load_dataset
+    from superconductor_vae_tpu.generation import SuperconductorDiscoveryPipeline
+    from superconductor_vae_tpu.generation.holdout_search import HoldoutSearch
+    from superconductor_vae_tpu.models import MaterialsEncoder, FormulaDecoder
+    from superconductor_vae_tpu.models.config import ModelConfig
+    from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+    restored, meta = load_checkpoint(args.checkpoint)
+    mcfg = ModelConfig(**meta['model_config'])
+    tokenizer = default_tokenizer(max_len=mcfg.max_len)
+    ds = load_dataset(args.csv, max_len=mcfg.max_len, tokenizer=tokenizer)
+
+    encoder = MaterialsEncoder(mcfg)
+    decoder = FormulaDecoder(mcfg)
+    pipe = SuperconductorDiscoveryPipeline(
+        encoder, decoder, restored['enc_params'], restored['dec_params'],
+        tokenizer, ds, type_masks=jnp.asarray(tokenizer.type_masks))
+    search = HoldoutSearch(pipe)
+    targets = search.targets[: args.n_targets] if args.n_targets else None
+    results = search.search(budget_per_target=args.budget, targets=targets)
+    summary = HoldoutSearch.summarize(results)
+    print(json.dumps(summary, indent=2))
+
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps({
+        'summary': summary,
+        'results': [r.__dict__ for r in results],
+    }, indent=2))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,198 @@
+"""Validators, correctors, latent strategies, and the discovery pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superconductor_vae_tpu.validation import CandidateValidator, PhysicsValidator
+from superconductor_vae_tpu.postprocessing import FormulaCorrector, FractionCorrector
+from superconductor_vae_tpu.generation.latent import (
+    slerp, lerp, interpolation_sweep, pca_components, element_jaccard_neighbors,
+    element_anchored_blend,
+)
+
+
+class TestValidators:
+    def test_candidate_validator_good(self):
+        v = CandidateValidator()
+        r = v.validate('YBa2Cu3O7')
+        assert r.is_valid
+        assert r.sc_likelihood >= 0.8
+        assert r.structure_type == 'cuprate-layered'
+        assert all(r.checks.values())
+
+    def test_candidate_validator_bad(self):
+        v = CandidateValidator()
+        assert not v.validate('XeKr3').is_valid       # noble gases
+        assert not v.validate('???').is_valid         # unparseable
+        r = v.validate('F1Tl1')
+        assert not r.is_valid                         # forbidden pair
+
+    def test_physics_validator(self):
+        p = PhysicsValidator()
+        r = p.validate('MgB2')
+        assert r.is_plausible
+        assert r.plausibility > 0.5
+        assert any('arc melting' in s or 'solid-state' in s
+                   for s in r.synthesis_routes)
+        r2 = p.validate('LaH10')
+        assert any('high-pressure' in s for s in r2.synthesis_routes)
+
+
+class TestCorrectors:
+    def test_formula_corrector(self):
+        c = FormulaCorrector()
+        r = c.correct('YBa2Cu3O7')
+        assert not r.was_corrected and r.is_valid
+        r = c.correct('YBa2Cu3O7%%')
+        assert r.corrected == 'YBa2Cu3O7' and r.is_valid
+        r = c.correct('La(1//2)CuO4')
+        assert r.corrected == 'La(1/2)CuO4'
+        r = c.correct('Cu()O2')
+        assert r.corrected == 'CuO2'
+        assert c.validate('MgB2')
+        assert not c.validate('Xx3Qq')
+
+    def test_fraction_corrector(self):
+        fc = FractionCorrector()
+        # snap odd denominator near a common value: 0.333... -> 1/3
+        r = fc.correct('La(333/999)CuO4')
+        assert '(1/3)' in r.corrected
+        # canonicalization
+        r = fc.correct('Sr(6/10)CuO4')
+        assert '(3/5)' in r.corrected
+        # site-sum nudge: 0.8 + 0.19 ~ 1.0 -> second becomes 1/5
+        r = fc.correct('La(4/5)Sr(19/100)CuO4')
+        assert r.was_corrected
+        from superconductor_vae_tpu.data import parse_formula_composition
+        comp = parse_formula_composition(r.corrected)
+        assert comp['La'] + comp['Sr'] == pytest.approx(1.0)
+
+
+class TestLatentStrategies:
+    def test_slerp_endpoints(self):
+        z0 = jnp.asarray(np.random.default_rng(0).normal(size=32))
+        z1 = jnp.asarray(np.random.default_rng(1).normal(size=32))
+        np.testing.assert_allclose(np.asarray(slerp(z0, z1, 0.0)), z0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(slerp(z0, z1, 1.0)), z1, atol=1e-5)
+        # norm interpolates smoothly (between endpoint norms, roughly)
+        mid = slerp(z0, z1, 0.5)
+        assert np.isfinite(np.asarray(mid)).all()
+
+    def test_interpolation_sweep(self):
+        z0 = jnp.ones(16)
+        z1 = -jnp.ones(16)
+        sweep = interpolation_sweep(z0, z1, 5, spherical=False)
+        assert sweep.shape == (5, 16)
+        np.testing.assert_allclose(np.asarray(sweep[2]), 0.0, atol=1e-6)
+
+    def test_pca_components(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(100, 1)) @ rng.normal(size=(1, 16)) \
+            + 0.01 * rng.normal(size=(100, 16))
+        comps, std = pca_components(x, k=3)
+        assert comps.shape == (3, 16)
+        assert std[0] > 10 * std[1]  # rank-1 structure dominates
+
+    def test_element_neighbors(self):
+        presence = np.zeros((5, 119), bool)
+        presence[0, [39, 56, 29, 8]] = True   # YBCO
+        presence[1, [57, 38, 29, 8]] = True   # LSCO
+        presence[2, [12, 5]] = True           # MgB2
+        presence[3, [29, 8]] = True           # CuO
+        target = np.zeros(119, bool)
+        target[[39, 56, 29, 8]] = True
+        nbrs = element_jaccard_neighbors(target, presence, k=3)
+        assert nbrs[0] == 0                   # exact set first
+        assert 2 not in nbrs                  # MgB2 shares nothing
+
+    def test_element_anchored_blend(self):
+        anchor = jnp.zeros(16)
+        nbrs = jnp.asarray(np.random.default_rng(0).normal(size=(4, 16)))
+        out = element_anchored_blend(anchor, nbrs, jax.random.PRNGKey(0), n=10)
+        assert out.shape == (10, 16)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestDiscoveryPipeline:
+    def test_pipeline_end_to_end(self):
+        from superconductor_vae_tpu.models import MaterialsEncoder, FormulaDecoder
+        from superconductor_vae_tpu.models.config import tiny_test_config
+        from superconductor_vae_tpu.data import synthetic_dataset
+        from superconductor_vae_tpu.generation import SuperconductorDiscoveryPipeline
+        from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+        cfg = tiny_test_config()
+        ds = synthetic_dataset(n=48, max_len=cfg.max_len,
+                               magpie_dim=cfg.magpie_dim)
+        tok = default_tokenizer(max_len=cfg.max_len)
+        rng = jax.random.PRNGKey(0)
+        enc = MaterialsEncoder(cfg)
+        eparams = enc.init(rng, jnp.asarray(ds.element_indices[:2]),
+                           jnp.asarray(ds.element_fractions[:2]),
+                           jnp.asarray(ds.element_mask[:2]),
+                           jnp.asarray(ds.magpie[:2]), jnp.asarray(ds.tc[:2]))
+        dec = FormulaDecoder(cfg)
+        dparams = dec.init(rng, jnp.zeros((2, cfg.latent_dim)),
+                           jnp.asarray(ds.tokens[:2]),
+                           jnp.zeros((2, cfg.stoich_input_dim)),
+                           jnp.zeros((2, cfg.heads_input_dim)))
+        pipe = SuperconductorDiscoveryPipeline(
+            enc, dec, eparams, dparams, tok, ds,
+            type_masks=jnp.asarray(tok.type_masks))
+        cands = pipe.run(n_candidates=32)
+        # untrained model: most candidates fail validation; pipeline must
+        # still return a ranked (possibly short) list without crashing
+        assert isinstance(cands, list)
+        for c in cands:
+            assert c.rank_score >= 0
+            assert np.isfinite(c.tc_pred_kelvin)
+        if len(cands) > 1:
+            assert cands[0].rank_score >= cands[-1].rank_score
+
+
+class TestHoldoutSearch:
+    def test_element_similarity(self):
+        from superconductor_vae_tpu.generation.holdout_search import element_similarity
+        assert element_similarity('YBa2Cu3O7', 'YBa2Cu3O7') == 1.0
+        partial = element_similarity('YBa2Cu3O7', 'YBa2Cu3O6')
+        assert 0.5 < partial < 1.0
+        assert element_similarity('MgB2', 'YBa2Cu3O7') == 0.0
+
+    def test_holdout_search_micro(self, tmp_path):
+        import json
+        import jax, jax.numpy as jnp
+        from superconductor_vae_tpu.models import MaterialsEncoder, FormulaDecoder
+        from superconductor_vae_tpu.models.config import tiny_test_config
+        from superconductor_vae_tpu.data import synthetic_dataset
+        from superconductor_vae_tpu.generation import SuperconductorDiscoveryPipeline
+        from superconductor_vae_tpu.generation.holdout_search import HoldoutSearch
+        from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+        cfg = tiny_test_config()
+        ds = synthetic_dataset(n=32, max_len=cfg.max_len, magpie_dim=cfg.magpie_dim)
+        tok = default_tokenizer(max_len=cfg.max_len)
+        rng = jax.random.PRNGKey(0)
+        enc = MaterialsEncoder(cfg)
+        eparams = enc.init(rng, jnp.asarray(ds.element_indices[:2]),
+                           jnp.asarray(ds.element_fractions[:2]),
+                           jnp.asarray(ds.element_mask[:2]),
+                           jnp.asarray(ds.magpie[:2]), jnp.asarray(ds.tc[:2]))
+        dec = FormulaDecoder(cfg)
+        dparams = dec.init(rng, jnp.zeros((2, cfg.latent_dim)),
+                           jnp.asarray(ds.tokens[:2]),
+                           jnp.zeros((2, cfg.stoich_input_dim)),
+                           jnp.zeros((2, cfg.heads_input_dim)))
+        pipe = SuperconductorDiscoveryPipeline(enc, dec, eparams, dparams, tok, ds)
+        # tiny holdout file with 2 targets
+        holdout = {'holdout_samples': [{'formula': 'YBa2Cu3O7'},
+                                       {'formula': 'MgB2'}]}
+        hpath = tmp_path / 'holdout.json'
+        hpath.write_text(json.dumps(holdout))
+        search = HoldoutSearch(pipe, holdout_path=hpath)
+        results = search.search(budget_per_target=16, log_fn=lambda *a: None)
+        assert len(results) == 2
+        summary = HoldoutSearch.summarize(results)
+        assert summary['n_targets'] == 2
+        assert 0 <= summary['mean_similarity'] <= 1

@@ -1,0 +1,123 @@
+"""Phase-2 self-supervised loop, coverage tracker, mastery sampler, curriculum,
+and the in-jit round-trip loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superconductor_vae_tpu.data import synthetic_dataset
+from superconductor_vae_tpu.models import MaterialsEncoder, FormulaDecoder
+from superconductor_vae_tpu.models.config import tiny_test_config
+from superconductor_vae_tpu.tokenizer import default_tokenizer
+from superconductor_vae_tpu.training.coverage_tracker import CoverageTracker
+from superconductor_vae_tpu.training.mastery_sampler import (
+    CurriculumScheduler, MasteryTracker,
+)
+from superconductor_vae_tpu.training.self_supervised import (
+    NovelDiscoveryTracker, Phase2Config, SelfSupervisedEpoch,
+)
+from superconductor_vae_tpu.training.train_step import build_luts
+
+
+def test_coverage_tracker():
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(200, 16))
+    ct = CoverageTracker(k=8)
+    ct.fit(z)
+    assert ct.centers.shape == (8, 16)
+    w0 = ct.sampling_weights()
+    np.testing.assert_allclose(w0.sum(), 1.0)
+    # visiting one region lowers its weight
+    target = ct.centers[0][None].repeat(50, axis=0)
+    ct.record_visits(target)
+    w1 = ct.sampling_weights()
+    assert w1[0] < w0[0]
+    assert ct.stats()['visited_fraction'] > 0
+
+
+def test_mastery_tracker():
+    mt = MasteryTracker(10)
+    idx = np.arange(5)
+    for _ in range(5):
+        mt.update(idx, np.ones(5))            # first 5 mastered
+    w = mt.weights()
+    assert w[:5].mean() < w[5:].mean()        # unseen get more weight
+    # regression: mastered sample starts failing -> boosted
+    for _ in range(5):
+        mt.update(np.array([0]), np.array([0.0]))
+    assert mt.regressed()[0]
+    w2 = mt.weights()
+    assert w2[0] > w[0]
+
+
+def test_curriculum_scheduler():
+    lengths = np.array([4, 5, 9, 9, 14, 20, 30])
+    cs = CurriculumScheduler(lengths, bucket_edges=[3, 7, 11, 16, 24],
+                             advance_patience=2)
+    w = cs.get_sample_weights()
+    assert w[0] == cs.active_boost            # active bucket = shortest
+    # report two passing epochs -> advance
+    exact = np.ones(len(lengths))
+    cs.report_ar_exact(exact, np.arange(len(lengths)))
+    cs.report_ar_exact(exact, np.arange(len(lengths)))
+    assert cs.active == 1
+    state = cs.state_dict()
+    cs2 = CurriculumScheduler(lengths, bucket_edges=[3, 7, 11, 16, 24])
+    cs2.load_state_dict(state)
+    assert cs2.active == 1
+
+
+def test_novel_discovery_tracker(tmp_path):
+    t = NovelDiscoveryTracker({'MgB2'}, holdout={'YBa2Cu3O7'},
+                              log_path=tmp_path / 'd.jsonl')
+    assert not t.record('MgB2')               # known
+    assert t.record('Nb3Sn')                  # novel
+    assert t.record('YBa2Cu3O7')              # holdout hit
+    assert t.holdout_hits == ['YBa2Cu3O7']
+    assert (tmp_path / 'd.jsonl').read_text().count('\n') == 2
+
+
+def test_round_trip_composition():
+    from superconductor_vae_tpu.ops.round_trip import tokens_to_composition
+    tok = default_tokenizer(max_len=16)
+    tokens = jnp.asarray(tok.encode_batch(['YBa2Cu3O7'])[:, 1:], jnp.int32)
+    mask = (tokens != 0).astype(jnp.float32)
+    luts = build_luts(tok)
+    e_idx, e_frac, e_mask = tokens_to_composition(
+        tokens, mask, luts['token_to_z'], luts['token_value_table'])
+    idx = np.asarray(e_idx[0])
+    frac = np.asarray(e_frac[0])
+    comp = {int(z): float(f) for z, f in zip(idx, frac) if f > 0}
+    assert comp[8] == pytest.approx(7 / 13)   # O
+    assert comp[29] == pytest.approx(3 / 13)  # Cu
+    assert comp[39] == pytest.approx(1 / 13)  # Y
+
+
+def test_phase2_epoch():
+    cfg = tiny_test_config()
+    ds = synthetic_dataset(n=48, max_len=cfg.max_len, magpie_dim=cfg.magpie_dim)
+    tok = default_tokenizer(max_len=cfg.max_len)
+    rng = jax.random.PRNGKey(0)
+    enc = MaterialsEncoder(cfg)
+    eparams = enc.init(rng, jnp.asarray(ds.element_indices[:2]),
+                       jnp.asarray(ds.element_fractions[:2]),
+                       jnp.asarray(ds.element_mask[:2]),
+                       jnp.asarray(ds.magpie[:2]), jnp.asarray(ds.tc[:2]))
+    dec = FormulaDecoder(cfg)
+    dparams = dec.init(rng, jnp.zeros((2, cfg.latent_dim)),
+                       jnp.asarray(ds.tokens[:2]),
+                       jnp.zeros((2, cfg.stoich_input_dim)),
+                       jnp.zeros((2, cfg.heads_input_dim)))
+    luts = build_luts(tok)
+    p2 = SelfSupervisedEpoch(enc, dec, tok, ds, luts,
+                             cfg=Phase2Config(n_samples=16, coverage_k=4))
+    z_cache = np.random.default_rng(0).normal(size=(48, cfg.latent_dim)) \
+        .astype(np.float32)
+    out = p2.run(eparams, dparams, z_cache, jax.random.PRNGKey(1))
+    m = out['metrics']
+    assert m['n_sampled'] == 16
+    assert 0 <= m['unique_rate'] <= 1
+    assert 'n_novel' in m
+    # params returned either updated or unchanged, always a valid pytree
+    assert jax.tree.structure(out['enc_params']) == jax.tree.structure(eparams)

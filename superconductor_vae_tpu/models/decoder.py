@@ -38,6 +38,13 @@ from .config import ModelConfig
 
 _dense_init = nn.initializers.xavier_uniform()
 
+# Parity with the torch reference: exact (erf) GELU and LayerNorm eps=1e-5
+# (torch defaults; flax defaults differ: tanh-approx GELU, eps=1e-6).
+import functools as _functools
+_gelu = _functools.partial(nn.gelu, approximate=False)
+_LN = _functools.partial(nn.LayerNorm, epsilon=1e-5)
+
+
 
 def sinusoidal_positions(max_len: int, d_model: int) -> np.ndarray:
     """Standard sin/cos positional table [max_len, d_model]."""
@@ -60,9 +67,9 @@ class DecoderLayer(nn.Module):
         d, h = cfg.d_model, cfg.nhead
         dense = lambda name: nn.Dense(d, kernel_init=_dense_init,
                                       dtype=self.dtype, name=name)
-        self.norm1 = nn.LayerNorm(dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(dtype=self.dtype)
-        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.norm1 = _LN(dtype=self.dtype)
+        self.norm2 = _LN(dtype=self.dtype)
+        self.norm3 = _LN(dtype=self.dtype)
         self.self_q, self.self_k = dense('self_q'), dense('self_k')
         self.self_v, self.self_o = dense('self_v'), dense('self_o')
         self.cross_q, self.cross_k = dense('cross_q'), dense('cross_k')
@@ -100,7 +107,7 @@ class DecoderLayer(nn.Module):
         x = x + self.drop(self.cross_o(ca), deterministic=deterministic)
         # feed-forward
         xn = self.norm3(x)
-        ff = self.ff2(self.drop(nn.gelu(self.ff1(xn)), deterministic=deterministic))
+        ff = self.ff2(self.drop(_gelu(self.ff1(xn)), deterministic=deterministic))
         return x + self.drop(ff, deterministic=deterministic)
 
     def step(self, x, k_cache, v_cache, memory_kv, position, valid_len):
@@ -132,7 +139,7 @@ class DecoderLayer(nn.Module):
         ca = mha_attention(qc, mk, mv).reshape(b, 1, d)
         x = x + self.cross_o(ca)
         xn = self.norm3(x)
-        x = x + self.ff2(nn.gelu(self.ff1(xn)))
+        x = x + self.ff2(_gelu(self.ff1(xn)))
         return x, k_cache, v_cache
 
 
@@ -156,11 +163,11 @@ class MemoryBuilder(nn.Module):
         if cfg.memory_bottleneck_dim > 0:
             h = nn.Dense(cfg.memory_bottleneck_dim, kernel_init=_dense_init,
                          dtype=dt, name='latent_bottleneck')(z)
-            h = nn.gelu(nn.LayerNorm(dtype=dt)(h))
+            h = _gelu(_LN(dtype=dt)(h))
             latent_mem = nn.Dense(d * cfg.n_memory_tokens, kernel_init=_dense_init,
                                   dtype=dt, name='latent_out')(h)
         else:
-            h = nn.gelu(nn.Dense(d * cfg.n_memory_tokens // 2,
+            h = _gelu(nn.Dense(d * cfg.n_memory_tokens // 2,
                                  kernel_init=_dense_init, dtype=dt,
                                  name='latent_mid')(z))
             latent_mem = nn.Dense(d * cfg.n_memory_tokens, kernel_init=_dense_init,
@@ -170,7 +177,7 @@ class MemoryBuilder(nn.Module):
         if cfg.n_stoich_tokens > 0:
             s = nn.Dense(d, kernel_init=_dense_init, dtype=dt,
                          name='stoich_mid')(stoich.astype(dt))
-            s = nn.gelu(nn.LayerNorm(dtype=dt)(s))
+            s = _gelu(_LN(dtype=dt)(s))
             s = nn.Dense(d * cfg.n_stoich_tokens, kernel_init=_dense_init,
                          dtype=dt, name='stoich_out')(s)
             parts.append(s.reshape(b, cfg.n_stoich_tokens, d))
@@ -178,8 +185,8 @@ class MemoryBuilder(nn.Module):
         if cfg.n_heads_tokens > 0:
             hh = nn.Dense(d // 2, kernel_init=_dense_init, dtype=dt,
                           name='heads_mid1')(heads_vec.astype(dt))
-            hh = nn.gelu(nn.LayerNorm(dtype=dt)(hh))
-            hh = nn.gelu(nn.Dense(d, kernel_init=_dense_init, dtype=dt,
+            hh = _gelu(_LN(dtype=dt)(hh))
+            hh = _gelu(nn.Dense(d, kernel_init=_dense_init, dtype=dt,
                                   name='heads_mid2')(hh))
             hh = nn.Dense(d * cfg.n_heads_tokens, kernel_init=_dense_init,
                           dtype=dt, name='heads_out')(hh)
@@ -207,14 +214,14 @@ class FormulaDecoder(nn.Module):
         self.drop = nn.Dropout(cfg.dropout)
 
         d = cfg.d_model
-        self.out_ln = nn.LayerNorm(dtype=dt)
+        self.out_ln = _LN(dtype=dt)
         self.out_d1 = nn.Dense(d, kernel_init=_dense_init, dtype=dt)
         self.out_d2 = nn.Dense(cfg.vocab_size, kernel_init=_dense_init, dtype=dt)
         self.stop_d1 = nn.Dense(d // 4, kernel_init=_dense_init, dtype=dt)
         self.stop_d2 = nn.Dense(1, kernel_init=_dense_init, dtype=dt)
         self.dup_d1 = nn.Dense(d // 4, kernel_init=_dense_init, dtype=dt)
         self.dup_d2 = nn.Dense(1, kernel_init=_dense_init, dtype=dt)
-        self.type_ln = nn.LayerNorm(dtype=dt)
+        self.type_ln = _LN(dtype=dt)
         self.type_d1 = nn.Dense(d, kernel_init=_dense_init, dtype=dt)
         self.type_d2 = nn.Dense(d // 4, kernel_init=_dense_init, dtype=dt)
         self.type_d3 = nn.Dense(5, kernel_init=_dense_init, dtype=dt)
@@ -223,13 +230,13 @@ class FormulaDecoder(nn.Module):
     def output_heads(self, h, *, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         """Hidden states -> (vocab logits, stop, type, site-dup) heads."""
         y = self.out_ln(h)
-        y = self.drop(nn.gelu(self.out_d1(y)), deterministic=deterministic)
+        y = self.drop(_gelu(self.out_d1(y)), deterministic=deterministic)
         logits = self.out_d2(y)
-        stop = self.stop_d2(nn.gelu(self.stop_d1(h)))[..., 0]
-        dup = self.dup_d2(nn.gelu(self.dup_d1(h)))[..., 0]
+        stop = self.stop_d2(_gelu(self.stop_d1(h)))[..., 0]
+        dup = self.dup_d2(_gelu(self.dup_d1(h)))[..., 0]
         t = self.type_ln(h)
-        t = self.drop(nn.gelu(self.type_d1(t)), deterministic=deterministic)
-        t = self.drop(nn.gelu(self.type_d2(t)), deterministic=deterministic)
+        t = self.drop(_gelu(self.type_d1(t)), deterministic=deterministic)
+        t = self.drop(_gelu(self.type_d2(t)), deterministic=deterministic)
         type_logits = self.type_d3(t)
         return {'logits': logits, 'stop_logits': stop,
                 'type_logits': type_logits, 'site_dup_logits': dup}

@@ -36,6 +36,13 @@ from .config import ModelConfig
 
 _dense_init = nn.initializers.xavier_uniform()
 
+# Parity with the torch reference: exact (erf) GELU and LayerNorm eps=1e-5
+# (torch defaults; flax defaults differ: tanh-approx GELU, eps=1e-6).
+import functools as _functools
+_gelu = _functools.partial(nn.gelu, approximate=False)
+_LN = _functools.partial(nn.LayerNorm, epsilon=1e-5)
+
+
 
 class MLP(nn.Module):
     """[Dense -> LayerNorm? -> GELU -> Dropout?] stack used across branches."""
@@ -53,8 +60,8 @@ class MLP(nn.Module):
             last = i == n - 1
             if not last or self.final_activation:
                 if self.use_layernorm:
-                    x = nn.LayerNorm(dtype=self.dtype)(x)
-                x = nn.gelu(x)
+                    x = _LN(dtype=self.dtype)(x)
+                x = _gelu(x)
                 if self.dropout > 0:
                     x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
@@ -97,7 +104,7 @@ class ElementAttention(nn.Module):
         attended = attended.reshape(b, self.hidden_dim)
         out = nn.Dense(self.hidden_dim, kernel_init=_dense_init,
                        dtype=self.dtype, name='output_proj')(attended)
-        out = nn.LayerNorm(dtype=self.dtype)(out)
+        out = _LN(dtype=self.dtype)(out)
         return out, attn.mean(axis=1)  # [B, hidden], [B, n]
 
 
@@ -147,8 +154,8 @@ class HierarchicalFamilyHead(nn.Module):
                 y = nn.Dense(w, kernel_init=_dense_init, dtype=self.dtype,
                              name=f'{name}_d{i}')(y)
                 if i == 0:
-                    y = nn.LayerNorm(dtype=self.dtype, name=f'{name}_ln')(y)
-                y = nn.gelu(y)
+                    y = _LN(dtype=self.dtype, name=f'{name}_ln')(y)
+                y = _gelu(y)
                 if i == 0:
                     y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
             return nn.Dense(out, kernel_init=_dense_init, dtype=self.dtype,
@@ -193,10 +200,12 @@ class MaterialsEncoder(nn.Module):
         self.magpie_encoder = MLP(
             [cfg.fusion_dim * 2, cfg.fusion_dim], dropout=cfg.dropout,
             dtype=d, name='magpie_encoder')
+        # topology matches reference tc_encoder (attention_vae.py:396-402):
+        # Dense -> GELU -> Dense -> LN -> GELU
         self.tc_encoder = MLP(
             [cfg.fusion_dim // 2, cfg.fusion_dim], use_layernorm=False,
-            dtype=d, name='tc_encoder_pre')
-        self.tc_encoder_ln = nn.LayerNorm(dtype=d)
+            final_activation=False, dtype=d, name='tc_encoder_pre')
+        self.tc_encoder_ln = _LN(dtype=d)
         self.fusion = MLP([cfg.fusion_dim * 3], dropout=cfg.dropout, dtype=d)
         self.latent_mlp = MLP(list(cfg.encoder_hidden), dtype=d)
         self.fc_mean = nn.Dense(cfg.latent_dim, kernel_init=_dense_init, dtype=d)
@@ -209,27 +218,38 @@ class MaterialsEncoder(nn.Module):
         self.tc_proj = nn.Dense(256, kernel_init=_dense_init, dtype=d)
         self.tc_res_block = MLP([256, 256], dropout=cfg.dropout,
                                 final_activation=False, dtype=d)
-        self.tc_out_ln = nn.LayerNorm(dtype=d)
+        self.tc_out_ln = _LN(dtype=d)
         self.tc_out_1 = nn.Dense(128, kernel_init=_dense_init, dtype=d)
         self.tc_out_2 = nn.Dense(1, kernel_init=_dense_init, dtype=d)
 
         self.magpie_head = MLP([backbone_dim, cfg.magpie_dim],
                                use_layernorm=False, final_activation=False, dtype=d)
         self.attended_head = nn.Dense(cfg.fusion_dim, kernel_init=_dense_init, dtype=d)
-        self.attended_head_ln = nn.LayerNorm(dtype=d)
+        self.attended_head_ln = _LN(dtype=d)
         self.competence_head = MLP([cfg.latent_dim // 4, 1],
                                    use_layernorm=False, final_activation=False, dtype=d)
-        self.fraction_head = MLP([256, 128, cfg.max_elements + 1],
-                                 final_activation=False, dropout=cfg.dropout, dtype=d)
-        self.hp_head = MLP([256, 1], use_layernorm=False,
-                           final_activation=False, dtype=d)
+        # fraction head topology (attention_vae.py:507-515):
+        # Dense -> LN -> GELU -> Dropout -> Dense -> GELU -> Dense
+        self.fraction_d0 = nn.Dense(256, kernel_init=_dense_init, dtype=d)
+        self.fraction_ln = _LN(dtype=d)
+        self.fraction_d1 = nn.Dense(128, kernel_init=_dense_init, dtype=d)
+        self.fraction_d2 = nn.Dense(cfg.max_elements + 1,
+                                    kernel_init=_dense_init, dtype=d)
+        # hp head uses ReLU (attention_vae.py:548-552)
+        self.hp_d0 = nn.Dense(256, kernel_init=_dense_init, dtype=d)
+        self.hp_d1 = nn.Dense(1, kernel_init=_dense_init, dtype=d)
         self.tc_class_head = MLP([256, 5], use_layernorm=False,
                                  final_activation=False, dropout=cfg.dropout, dtype=d)
         if cfg.use_numden_head:
             self.numden_head = MLP([512, 256, 24], final_activation=False,
                                    dropout=cfg.dropout, dtype=d)
-        self.sc_head = MLP([512, 128, 1], use_layernorm=False,
-                           final_activation=False, dropout=cfg.dropout, dtype=d)
+        # sc head topology (attention_vae.py:586-594):
+        # Dense -> GELU -> LN -> Dropout -> Dense -> GELU -> Dense
+        self.sc_d0 = nn.Dense(512, kernel_init=_dense_init, dtype=d)
+        self.sc_ln = _LN(dtype=d)
+        self.sc_d1 = nn.Dense(128, kernel_init=_dense_init, dtype=d)
+        self.sc_d2 = nn.Dense(1, kernel_init=_dense_init, dtype=d)
+        self.head_drop = nn.Dropout(cfg.dropout)
         self.family_head = HierarchicalFamilyHead(
             backbone_dim=backbone_dim, dropout=cfg.dropout, dtype=d)
 
@@ -241,7 +261,7 @@ class MaterialsEncoder(nn.Module):
             deterministic=deterministic)
         magpie_repr = self.magpie_encoder(magpie.astype(self.dtype),
                                           deterministic=deterministic)
-        tc_repr = nn.gelu(self.tc_encoder_ln(
+        tc_repr = _gelu(self.tc_encoder_ln(
             self.tc_encoder(tc, deterministic=deterministic)))
         fused = jnp.concatenate([elem_repr, magpie_repr, tc_repr], axis=-1)
         fused = self.fusion(fused, deterministic=deterministic)
@@ -254,13 +274,18 @@ class MaterialsEncoder(nn.Module):
             'fused_repr': fused,
         }
 
+    def fraction_heads(self, z, *, deterministic: bool = True) -> jnp.ndarray:
+        h = self.head_drop(_gelu(self.fraction_ln(self.fraction_d0(z))),
+                           deterministic=deterministic)
+        return self.fraction_d2(_gelu(self.fraction_d1(h)))
+
     def decode(self, z, *, deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         h = self.decoder_backbone(z.astype(self.dtype),
                                   deterministic=deterministic)
         tc_h = self.tc_proj(h)
         tc_h = tc_h + self.tc_res_block(tc_h, deterministic=deterministic)
         tc_pred = self.tc_out_2(
-            nn.gelu(self.tc_out_1(nn.gelu(self.tc_out_ln(tc_h)))))[:, 0]
+            _gelu(self.tc_out_1(_gelu(self.tc_out_ln(tc_h)))))[:, 0]
         return {
             'tc_pred': tc_pred,
             'magpie_pred': self.magpie_head(h, deterministic=deterministic),
@@ -279,10 +304,10 @@ class MaterialsEncoder(nn.Module):
 
         competence = jax.nn.sigmoid(
             self.competence_head(z, deterministic=deterministic)[:, 0])
-        frac_out = self.fraction_head(z, deterministic=deterministic)
+        frac_out = self.fraction_heads(z, deterministic=deterministic)
         fraction_pred = frac_out[:, :cfg.max_elements]
         element_count_pred = frac_out[:, -1]
-        hp_pred = self.hp_head(z, deterministic=deterministic)[:, 0]
+        hp_pred = self.hp_d1(jax.nn.relu(self.hp_d0(z)))[:, 0]
         numden_pred = (self.numden_head(z, deterministic=deterministic)
                        if cfg.use_numden_head else None)
         tc_class_logits = dec['tc_class_logits']
@@ -298,7 +323,9 @@ class MaterialsEncoder(nn.Module):
             competence[:, None],
             tc_class_logits,
         ], axis=-1)
-        sc_pred = self.sc_head(sc_input, deterministic=deterministic)[:, 0]
+        h_sc = self.head_drop(self.sc_ln(_gelu(self.sc_d0(sc_input))),
+                              deterministic=deterministic)
+        sc_pred = self.sc_d2(_gelu(self.sc_d1(h_sc)))[:, 0]
 
         family = self.family_head(
             dec['backbone_h'], jax.lax.stop_gradient(sc_pred),

@@ -23,6 +23,13 @@ from ..ops.attention import mha_attention
 
 _dense_init = nn.initializers.xavier_uniform()
 
+# Parity with the torch reference: exact (erf) GELU and LayerNorm eps=1e-5
+# (torch defaults; flax defaults differ: tanh-approx GELU, eps=1e-6).
+import functools as _functools
+_gelu = _functools.partial(nn.gelu, approximate=False)
+_LN = _functools.partial(nn.LayerNorm, epsilon=1e-5)
+
+
 
 class SetDecoderLayer(nn.Module):
     d_model: int
@@ -47,15 +54,15 @@ class SetDecoderLayer(nn.Module):
             return nn.Dense(d, kernel_init=_dense_init, dtype=self.dtype,
                             name=f'{name}_o')(o)
 
-        x = nn.LayerNorm(dtype=self.dtype)(slots)
+        x = _LN(dtype=self.dtype)(slots)
         slots = slots + mha('self', x, x)            # slots coordinate
-        x = nn.LayerNorm(dtype=self.dtype)(slots)
+        x = _LN(dtype=self.dtype)(slots)
         slots = slots + mha('cross', x, memory)      # read latent memory
-        x = nn.LayerNorm(dtype=self.dtype)(slots)
+        x = _LN(dtype=self.dtype)(slots)
         y = nn.Dense(self.dim_feedforward, kernel_init=_dense_init,
                      dtype=self.dtype)(x)
         y = nn.Dense(d, kernel_init=_dense_init, dtype=self.dtype)(
-            nn.gelu(y))
+            _gelu(y))
         return slots + nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
 
@@ -90,7 +97,7 @@ class SetFormulaDecoder(nn.Module):
                 self.dropout, dtype=self.dtype, name=f'layer_{i}',
             )(slots, mem, deterministic=deterministic)
 
-        slots = nn.LayerNorm(dtype=self.dtype)(slots)
+        slots = _LN(dtype=self.dtype)(slots)
         element_logits = nn.Dense(self.n_elements + 1,
                                   kernel_init=_dense_init, dtype=self.dtype,
                                   name='element_head')(slots)

@@ -86,10 +86,9 @@ class SuperconductorDiscoveryPipeline:
             # fraction/count/hp/competence heads operate on z; reuse forward
             # by invoking the head modules through a bound apply
             def heads(mdl):
-                comp = jax.nn.sigmoid(
-                    mdl.competence_head(z)[:, 0])
-                frac_out = mdl.fraction_head(z)
-                hp = mdl.hp_head(z)[:, 0]
+                comp = jax.nn.sigmoid(mdl.competence_head(z)[:, 0])
+                frac_out = mdl.fraction_heads(z)
+                hp = mdl.hp_d1(jax.nn.relu(mdl.hp_d0(z)))[:, 0]
                 return comp, frac_out, hp
             comp, frac_out, hp = enc.apply(self.enc_params, method=heads)
             fraction_pred = frac_out[:, :enc.cfg.max_elements]
@@ -98,8 +97,13 @@ class SuperconductorDiscoveryPipeline:
                 z, dec_out['tc_pred'][:, None], dec_out['magpie_pred'],
                 hp[:, None], fraction_pred, count[:, None], comp[:, None],
                 dec_out['tc_class_logits']], axis=-1)
-            sc = enc.apply(self.enc_params,
-                           method=lambda m: m.sc_head(sc_input)[:, 0])
+
+            def sc_fn(m):
+                h_sc = m.sc_ln(jax.nn.gelu(m.sc_d0(sc_input),
+                                           approximate=False))
+                return m.sc_d2(jax.nn.gelu(m.sc_d1(h_sc),
+                                           approximate=False))[:, 0]
+            sc = enc.apply(self.enc_params, method=sc_fn)
             fam = enc.apply(
                 self.enc_params,
                 method=lambda m: m.family_head(dec_out['backbone_h'],

@@ -206,8 +206,10 @@ class FormulaDecoder(nn.Module):
         self.token_embedding = nn.Embed(
             cfg.vocab_size, cfg.d_model,
             embedding_init=nn.initializers.normal(0.02), dtype=dt)
+        # +8 slack rows so chunked (speculative) decode can slice a full
+        # chunk starting at the last position without dynamic-slice clamping
         self.pos_table = jnp.asarray(
-            sinusoidal_positions(cfg.max_len, cfg.d_model))
+            sinusoidal_positions(cfg.max_len + 8, cfg.d_model))
         self.memory_builder = MemoryBuilder(cfg, dtype=dt)
         self.layers = [DecoderLayer(cfg, dtype=dt, name=f'layer_{i}')
                        for i in range(cfg.num_layers)]
@@ -301,8 +303,50 @@ class FormulaDecoder(nn.Module):
         heads = {k: v[:, 0] for k, v in heads.items()}
         return heads, jnp.stack(new_k), jnp.stack(new_v)
 
-    def init_cache(self, batch_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def decode_chunk(self, tokens, position, k_caches, v_caches, memory_kvs):
+        """K-token chunk forward with the fixed-shape cache (speculative
+        verification): processes ``tokens [B, K]`` starting at ``position``,
+        causal within the chunk, attending to all cached positions before it.
+
+        Returns (head outputs over the K positions, k_caches, v_caches).
+        """
         cfg = self.cfg
-        shape = (cfg.num_layers, batch_size, cfg.max_len, cfg.nhead, cfg.head_dim)
+        b, k = tokens.shape
+        x = self.token_embedding(tokens)
+        pe = jax.lax.dynamic_slice_in_dim(self.pos_table, position, k, axis=0)
+        x = x + pe[None].astype(self.dtype)
+        q_pos = position + jnp.arange(k)                       # [K]
+        cache_pos = jnp.arange(k_caches.shape[2])              # [T(+slack)]
+        # query i attends cache slots <= position + i
+        mask = cache_pos[None, None, None, :] <= q_pos[None, None, :, None]
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            xn = layer.norm1(x)
+            q = layer._split(layer.self_q(xn))
+            kk, vv = layer.self_kv(xn)
+            k_c = jax.lax.dynamic_update_slice_in_dim(
+                k_caches[i], kk, position, axis=1)
+            v_c = jax.lax.dynamic_update_slice_in_dim(
+                v_caches[i], vv, position, axis=1)
+            sa = mha_attention(q, k_c, v_c, mask).reshape(b, k, cfg.d_model)
+            x = x + layer.self_o(sa)
+            xn = layer.norm2(x)
+            qc = layer._split(layer.cross_q(xn))
+            mk, mv = memory_kvs[i]
+            ca = mha_attention(qc, mk, mv).reshape(b, k, cfg.d_model)
+            x = x + layer.cross_o(ca)
+            xn = layer.norm3(x)
+            x = x + layer.ff2(_gelu(layer.ff1(xn)))
+            new_k.append(k_c)
+            new_v.append(v_c)
+        heads = self.output_heads(x, deterministic=True)
+        return heads, jnp.stack(new_k), jnp.stack(new_v)
+
+    def init_cache(self, batch_size: int, extra: int = 0
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """`extra` adds slack rows for chunked decode writes at the tail."""
+        cfg = self.cfg
+        shape = (cfg.num_layers, batch_size, cfg.max_len + extra,
+                 cfg.nhead, cfg.head_dim)
         return (jnp.zeros(shape, dtype=self.dtype),
                 jnp.zeros(shape, dtype=self.dtype))

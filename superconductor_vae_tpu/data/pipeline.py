@@ -264,27 +264,35 @@ def load_dataset(
     mg_std = magpie[stats_rows].std(axis=0) + 1e-8
     magpie = (magpie - mg_mean) / mg_std
 
-    # Tokenize + parse compositions
-    tokens = tokenizer.encode_batch(formulas)
+    # Tokenize + parse compositions — native C++ fast path with Python
+    # fallback (superconductor_vae_tpu/native)
+    from .. import native as _native
     n = len(formulas)
-    elem_idx = np.zeros((n, MAX_ELEMENTS), np.int32)
-    elem_frac = np.zeros((n, MAX_ELEMENTS), np.float32)
-    elem_mask = np.zeros((n, MAX_ELEMENTS), bool)
-    classifier = RuleBasedFamilyClassifier()
-    family = np.zeros(n, np.int32)
-    for i, f in enumerate(formulas):
-        comp = parse_formula_composition(f)
-        total = sum(comp.values()) or 1.0
-        for j, (el, amt) in enumerate(comp.items()):
-            if j >= MAX_ELEMENTS:
-                break
-            elem_idx[i, j] = SYMBOL_TO_Z[el]
-            elem_frac[i, j] = amt / total
-            elem_mask[i, j] = True
-        if is_sc[i] == 1:
-            family[i] = int(classifier.classify_from_elements(set(comp)))
-        else:
-            family[i] = int(SuperconductorFamily.NOT_SUPERCONDUCTOR)
+    tokens = _native.tokenize_batch(formulas, tokenizer)
+    if tokens is None:
+        tokens = tokenizer.encode_batch(formulas)
+    parsed = _native.parse_compositions(formulas, tokenizer, MAX_ELEMENTS)
+    if parsed is not None:
+        elem_idx, elem_frac, elem_mask = parsed
+        elem_idx = elem_idx.astype(np.int32)
+    else:
+        elem_idx = np.zeros((n, MAX_ELEMENTS), np.int32)
+        elem_frac = np.zeros((n, MAX_ELEMENTS), np.float32)
+        elem_mask = np.zeros((n, MAX_ELEMENTS), bool)
+        for i, f in enumerate(formulas):
+            comp = parse_formula_composition(f)
+            total = sum(comp.values()) or 1.0
+            for j, (el, amt) in enumerate(comp.items()):
+                if j >= MAX_ELEMENTS:
+                    break
+                elem_idx[i, j] = SYMBOL_TO_Z[el]
+                elem_frac[i, j] = amt / total
+                elem_mask[i, j] = True
+    from ..models.family_classifier import classify_batch
+    family = np.where(
+        is_sc == 1,
+        classify_batch(elem_idx, np.asarray(elem_mask)),
+        int(SuperconductorFamily.NOT_SUPERCONDUCTOR)).astype(np.int32)
 
     comp_targets, comp_stats = normalized_compositional_targets(
         elem_idx, elem_frac, elem_mask)

@@ -113,6 +113,12 @@ class TrainConfig:
     oversample_hard_sequences: bool = True
     oversample_high_tc: bool = True
 
+    # curriculum AR warmup (reference: :1059-1066)
+    curriculum_ar_enabled: bool = False
+
+    # resume: 'auto' loads the best/latest checkpoint in output_dir
+    resume: Optional[str] = None
+
     # phase 2 (reference: :1024-1049)
     phase2_enabled: bool = False
     phase2_auto_min_exact: float = 0.80

@@ -147,4 +147,7 @@ def evaluate_autoregressive(
         'family_coarse_acc': float(np.concatenate(fam_correct).mean()),
         'n_evaluated': int(len(ar_exact)),
         'error_records': errors,
+        # per-sample arrays for the curriculum / mastery controllers
+        'per_sample_ar_exact': ar_exact,
+        'sample_indices': np.arange(len(ar_exact)),
     }

@@ -112,12 +112,71 @@ def train(
     ent_mgr = EntropyManager(tcfg)
     tc_tracker = TcBinTracker(tcfg)
 
+    # mastery-aware sampling + optional length-bucket AR curriculum
+    from .mastery_sampler import CurriculumScheduler, MasteryTracker
+    mastery = MasteryTracker(len(ds))
+    curriculum = None
+    if getattr(tcfg, 'curriculum_ar_enabled', False):
+        seq_len = (ds.tokens != 0).sum(axis=1)
+        curriculum = CurriculumScheduler(seq_len)
+
+    # phase-2 self-supervised machinery (gated)
+    phase2 = None
+    if tcfg.phase2_enabled:
+        from .self_supervised import Phase2Config, SelfSupervisedEpoch
+        phase2 = SelfSupervisedEpoch(
+            encoder, decoder, tokenizer, ds, luts,
+            cfg=Phase2Config(n_samples=tcfg.phase2_n_samples,
+                             lr_factor=tcfg.phase2_lr_factor,
+                             max_weight=tcfg.phase2_max_weight,
+                             warmup=tcfg.phase2_warmup),
+            base_lr=tcfg.learning_rate, output_dir=str(out_dir))
+
+    from ..analysis import TopologyAnalyzer
+    topo = TopologyAnalyzer(output_dir=out_dir)
+    from ..generation.latent_analyzer import LatentSpaceAnalyzer
+
+    # graceful shutdown: SIGINT/SIGTERM saves a full-state interrupt
+    # checkpoint (reference: train_v12_clean.py:1383-1433)
+    import signal
+    interrupt = {'flag': False}
+
+    def _on_signal(signum, frame):
+        interrupt['flag'] = True
+
+    old_handlers = {}
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            old_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:
+            pass  # not main thread
+
     best_exact = 0.0
     best_params = None
     last_metrics: Optional[Dict[str, float]] = None
     last_ar_exact = 0.0
     history = []
     step_rng = jax.random.PRNGKey(tcfg.seed + 1)
+    start_epoch = 0
+
+    # resume: restore params + epoch counter from the best/latest checkpoint
+    # (manifest drift check as in the reference, utils/manifest.py:137)
+    if tcfg.resume:
+        from ..checkpoint import (check_manifest_drift, latest_checkpoint,
+                                  load_checkpoint)
+        path = (latest_checkpoint(out_dir / 'checkpoints')
+                if tcfg.resume == 'auto' else Path(tcfg.resume))
+        if path is not None and (Path(path) / 'meta.json').exists():
+            restored, meta = load_checkpoint(path)
+            drift = check_manifest_drift(meta.get('manifest', {}), mcfg, tcfg)
+            if drift:
+                log_fn(f'[resume] manifest drift: {drift}')
+            state = state.replace(
+                enc_params=restored['enc_params'],
+                dec_params=restored['dec_params'],
+                set_params=restored.get('set_params', state.set_params))
+            start_epoch = int(meta.get('epoch', -1)) + 1
+            log_fn(f'[resume] {path} -> epoch {start_epoch}')
 
     csv_path_out = out_dir / 'training_metrics.csv'
     csv_fields = ['epoch', 'total', 'formula_loss', 'tc_loss', 'exact_match',
@@ -128,7 +187,7 @@ def train(
     with open(csv_path_out, 'w', newline='') as f:
         csv.DictWriter(f, fieldnames=csv_fields).writeheader()
 
-    for epoch in range(tcfg.num_epochs):
+    for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()
         tf_exact = last_metrics.get('exact_match', 0.0) if last_metrics else 0.0
 
@@ -191,6 +250,38 @@ def train(
                 new_enc = tc_tracker.update(state.enc_params, float(np.mean(high)))
                 if new_enc is not state.enc_params:
                     state = state.replace(enc_params=new_enc)
+            # mastery + curriculum controllers consume per-sample AR exact
+            idx = eval_out['sample_indices']
+            per = eval_out['per_sample_ar_exact'].astype(np.float64)
+            mastery.update(idx, per)
+            if curriculum is not None:
+                curriculum.report_ar_exact(per, idx)
+                sampler.set_weights(weights * curriculum.get_sample_weights())
+
+            # phase-2 self-supervised sub-epoch (gated on TF exact)
+            if (phase2 is not None
+                    and tf_exact >= tcfg.phase2_auto_min_exact
+                    and (epoch + 1) % tcfg.phase2_interval == 0):
+                cache = LatentSpaceAnalyzer(
+                    encoder, state.enc_params).build_cache(ds)
+                p2_w = tcfg.phase2_max_weight * min(
+                    1.0, (epoch + 1) / max(tcfg.phase2_warmup, 1))
+                step_rng, p2_rng = jax.random.split(step_rng)
+                p2 = phase2.run(state.enc_params, state.dec_params,
+                                cache.z, p2_rng, phase2_weight=p2_w)
+                state = state.replace(enc_params=p2['enc_params'])
+                log_fn(f"[phase2] {p2['metrics']}")
+
+            # z-cache dump + topology telemetry on checkpoint cadence
+            if (epoch + 1) % tcfg.checkpoint_interval == 0:
+                cache = LatentSpaceAnalyzer(
+                    encoder, state.enc_params).build_cache(ds)
+                np.savez_compressed(out_dir / 'latent_cache.npz',
+                                    z=cache.z, tc_pred=cache.tc_pred,
+                                    tc_kelvin=cache.tc_kelvin,
+                                    is_sc=cache.is_sc, family=cache.family)
+                topo.analyze(cache.z, is_sc=cache.is_sc,
+                             tc_kelvin=cache.tc_kelvin, epoch=epoch)
 
         # drop detection / rollback
         exact = last_metrics.get('exact_match', 0.0)
@@ -223,10 +314,21 @@ def train(
                f"exact={exact:.3f} tok_acc={row['token_accuracy']:.3f} "
                f"ar={last_ar_exact:.3f} {row['samples_per_s']}/s tf={tf_ratio}")
 
+        from ..checkpoint import save_checkpoint
         if (epoch + 1) % tcfg.checkpoint_interval == 0:
-            from ..checkpoint import save_checkpoint
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
                             epoch=epoch, metrics=row)
+        if exact >= best_exact and exact > 0:
+            save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
+                            epoch=epoch, metrics=row, tag='best')
+        if interrupt['flag']:
+            save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
+                            epoch=epoch, metrics=row, tag='interrupt')
+            log_fn(f'[interrupt] saved checkpoint at epoch {epoch}; stopping')
+            break
+
+    for sig, h in old_handlers.items():
+        signal.signal(sig, h)
 
     return {
         'state': state, 'encoder': encoder, 'decoder': decoder,

@@ -182,3 +182,26 @@ def test_checkpoint_roundtrip(tmp_path):
     import dataclasses
     mcfg2 = dataclasses.replace(mcfg, d_model=64)
     assert check_manifest_drift(meta['manifest'], mcfg2, tcfg)
+
+
+def test_resume_from_checkpoint(tmp_path):
+    from superconductor_vae_tpu.models.config import tiny_test_config
+    mcfg = tiny_test_config()
+    ds = synthetic_dataset(n=32, max_len=mcfg.max_len,
+                           magpie_dim=mcfg.magpie_dim)
+    cfg = small_train_config(num_epochs=2)
+    cfg.checkpoint_interval = 1
+    out = train(model_config=mcfg, train_config=cfg, dataset=ds,
+                output_dir=tmp_path, use_mesh=False, log_fn=lambda *a: None)
+    assert (tmp_path / 'checkpoints').exists()
+
+    logs = []
+    cfg2 = small_train_config(num_epochs=3)
+    cfg2.checkpoint_interval = 1
+    cfg2.resume = 'auto'
+    out2 = train(model_config=mcfg, train_config=cfg2, dataset=ds,
+                 output_dir=tmp_path, use_mesh=False, log_fn=logs.append)
+    # resumed past the first two epochs: only epoch 2 runs
+    assert any('[resume]' in str(l) for l in logs)
+    assert len(out2['history']) == 1
+    assert out2['history'][0]['epoch'] == 2

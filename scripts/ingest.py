@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Multi-source dataset ingestion -> one processed training CSV.
+
+Compact equivalent of the reference ingestion suite
+(reference: scripts/ingest_jarvis.py, ingest_nemad.py,
+ingest_new_datasets.py, ingest_non_sc.py, label_high_pressure.py — ~4.5K
+LoC): reads raw source CSVs/TSVs, normalizes formula + Tc columns, dedups by
+(formula, rounded Tc), merges non-SC negatives (Materials Project fallback
+lists offline), applies the high-pressure labeling heuristics, and writes a
+single contrastive training CSV.
+
+Usage:
+    python scripts/ingest.py --sources a.csv b.csv --out data/processed/train.csv
+"""
+
+import argparse
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+FORMULA_COLS = ('formula', 'formula_pretty', 'composition', 'name')
+TC_COLS = ('Tc', 'tc', 'Tc (K)', 'critical_temperature', 'Tc_exp')
+
+# high-pressure labeling heuristics (reference: scripts/label_high_pressure.py)
+_HP_HYDRIDE = re.compile(r'^(?=.*H(\d{2,}|[4-9]))')
+
+
+def is_high_pressure(formula: str, tc: float) -> int:
+    from superconductor_vae_tpu.data import parse_formula_composition
+    comp = parse_formula_composition(formula)
+    total = sum(comp.values()) or 1.0
+    h_frac = comp.get('H', 0.0) / total
+    # hydrogen-dominated high-Tc compounds are DAC-synthesized hydrides
+    if h_frac > 0.5 and tc > 77:
+        return 1
+    # elemental HP superconductors (e.g., Ca, S, Se at megabar pressures)
+    if len(comp) == 1 and tc > 10 and next(iter(comp)) in (
+            'Ca', 'S', 'Se', 'P', 'B', 'Li', 'Y'):
+        return 1
+    return 0
+
+
+def load_source(path: Path):
+    import pandas as pd
+    df = (pd.read_csv(path, sep='\t') if path.suffix == '.tsv'
+          else pd.read_csv(path))
+    fcol = next((c for c in FORMULA_COLS if c in df.columns), None)
+    tcol = next((c for c in TC_COLS if c in df.columns), None)
+    if fcol is None:
+        print(f'  skip {path.name}: no formula column')
+        return None
+    out = df[[fcol] + ([tcol] if tcol else [])].copy()
+    out.columns = ['formula'] + (['Tc'] if tcol else [])
+    if 'Tc' not in out:
+        out['Tc'] = 0.0
+    out['formula'] = out['formula'].astype(str).str.strip()
+    out['Tc'] = np.clip(
+        np.nan_to_num(out['Tc'].astype(float, errors='ignore')), 0, 400)
+    out = out[out['formula'].str.len() > 0]
+    out['source'] = path.stem
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--sources', nargs='+', required=True)
+    p.add_argument('--out', required=True)
+    p.add_argument('--add-non-sc', type=int, default=0,
+                   help='append N non-SC negatives (Materials Project or '
+                        'fallback lists)')
+    p.add_argument('--min-tc-sc', type=float, default=0.0,
+                   help='rows with Tc > this are labeled superconducting')
+    args = p.parse_args()
+
+    import pandas as pd
+    from superconductor_vae_tpu.data import parse_formula_composition
+    from superconductor_vae_tpu.models.family_classifier import (
+        RuleBasedFamilyClassifier, SuperconductorFamily,
+    )
+    from superconductor_vae_tpu.utils.materials_api import MaterialsProjectClient
+
+    frames = []
+    for s in args.sources:
+        df = load_source(Path(s))
+        if df is not None:
+            frames.append(df)
+            print(f'  {s}: {len(df)} rows')
+    merged = pd.concat(frames, ignore_index=True)
+
+    # drop unparseable formulas + dedup by (formula, Tc rounded)
+    merged = merged[merged['formula'].map(
+        lambda f: len(parse_formula_composition(f)) > 0)]
+    merged['tc_key'] = merged['Tc'].round(1)
+    merged = merged.drop_duplicates(['formula', 'tc_key']).drop(columns='tc_key')
+
+    merged['is_superconductor'] = (merged['Tc'] > args.min_tc_sc).astype(int)
+    merged['requires_high_pressure'] = [
+        is_high_pressure(f, tc) if sc else 0
+        for f, tc, sc in zip(merged['formula'], merged['Tc'],
+                             merged['is_superconductor'])]
+
+    clf = RuleBasedFamilyClassifier()
+    fam_to_cat = {
+        2: 'Cuprates', 3: 'Cuprates', 4: 'Cuprates', 5: 'Cuprates',
+        6: 'Cuprates', 7: 'Cuprates', 8: 'Iron-based', 9: 'Iron-based',
+        1: 'Elemental Superconductors', 10: 'Other', 11: 'Other',
+        12: 'Organic Superconductors', 13: 'Other',
+    }
+
+    def category(row):
+        if not row['is_superconductor']:
+            return 'Non-SC: Materials Project'
+        comp = parse_formula_composition(row['formula'])
+        if comp.get('H', 0) / (sum(comp.values()) or 1) > 0.5:
+            return 'Hydrogen-rich Superconductors'
+        fam = int(clf.classify_from_elements(set(comp)))
+        return fam_to_cat.get(fam, 'Other')
+
+    merged['category'] = merged.apply(category, axis=1)
+
+    if args.add_non_sc:
+        neg = MaterialsProjectClient().fetch_non_sc(args.add_non_sc)
+        neg_df = pd.DataFrame([{
+            'formula': d['formula'], 'Tc': 0.0, 'source': 'materials_api',
+            'is_superconductor': 0, 'requires_high_pressure': 0,
+            'category': d['category']} for d in neg])
+        merged = pd.concat([merged, neg_df], ignore_index=True)
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    merged.to_csv(out, index=False)
+    n_sc = int(merged['is_superconductor'].sum())
+    print(f'wrote {len(merged)} rows ({n_sc} SC, {len(merged)-n_sc} non-SC, '
+          f"{int(merged['requires_high_pressure'].sum())} HP) -> {out}")
+
+
+if __name__ == '__main__':
+    main()

@@ -40,6 +40,8 @@ def main():
         import jax
         jax.config.update('jax_platforms', 'cpu')
 
+    from superconductor_vae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import dataclasses
     import jax
     import jax.numpy as jnp

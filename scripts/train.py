@@ -39,6 +39,8 @@ def main():
         import jax
         jax.config.update('jax_platforms', 'cpu')
 
+    from superconductor_vae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from superconductor_vae_tpu.training import TrainConfig, train
     from superconductor_vae_tpu.models.config import ModelConfig, tiny_test_config
 

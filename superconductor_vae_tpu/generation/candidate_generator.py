@@ -24,13 +24,15 @@ class CandidateGenerator:
         self.encoder = encoder
         self.enc_params = enc_params
 
-        def tc_of_z(z):
-            out = self.encoder.apply(self.enc_params, z,
-                                     method=MaterialsEncoder.decode)
+        # params are jit ARGUMENTS (constants would bloat the program)
+        def tc_of_z(params, z):
+            out = encoder.apply(params, z, method=MaterialsEncoder.decode)
             return out['tc_pred'].sum(), out['tc_pred']
 
-        self._tc_grad = jax.jit(jax.grad(lambda z: tc_of_z(z)[0]))
-        self._tc_pred = jax.jit(lambda z: tc_of_z(z)[1])
+        _grad = jax.jit(jax.grad(lambda p, z: tc_of_z(p, z)[0], argnums=1))
+        _pred = jax.jit(lambda p, z: tc_of_z(p, z)[1])
+        self._tc_grad = lambda z: _grad(self.enc_params, z)
+        self._tc_pred = lambda z: _pred(self.enc_params, z)
 
     def gradient_ascent_tc(self, z_init: jnp.ndarray, steps: int = 20,
                            lr: float = 0.5,
@@ -38,18 +40,24 @@ class CandidateGenerator:
         """Push latents toward higher predicted Tc, norm-trust-region bounded
         so candidates stay on the data manifold."""
         z0_norm = jnp.linalg.norm(z_init, axis=-1, keepdims=True)
+        encoder = self.encoder
 
         @jax.jit
-        def run(z):
+        def run(params, z, z0_norm):
+            def tc_sum(zz):
+                out = encoder.apply(params, zz,
+                                    method=MaterialsEncoder.decode)
+                return out['tc_pred'].sum()
+
             def body(_, z):
-                g = self._tc_grad(z)
+                g = jax.grad(tc_sum)(z)
                 z = z + lr * g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-8)
                 norm = jnp.linalg.norm(z, axis=-1, keepdims=True)
                 cap = z0_norm * max_norm_growth
                 return jnp.where(norm > cap, z * cap / norm, z)
             return jax.lax.fori_loop(0, steps, body, z)
 
-        return run(z_init)
+        return run(self.enc_params, z_init, z0_norm)
 
     def sample_clusters(self, centers: np.ndarray, n_per_cluster: int,
                         sigma: float, rng: jax.Array) -> jnp.ndarray:
@@ -72,10 +80,12 @@ class CandidateGenerator:
         select elite by tc_pred, refill with mutated crossovers."""
         n = z_pop.shape[0]
         n_elite = max(int(n * elite_frac), 2)
+        encoder = self.encoder
 
         @jax.jit
-        def gen_step(z, key):
-            tc = self._tc_pred(z)
+        def gen_step(params, z, key):
+            tc = encoder.apply(params, z,
+                               method=MaterialsEncoder.decode)['tc_pred']
             order = jnp.argsort(-tc)
             elite = z[order[:n_elite]]
             k1, k2, k3 = jax.random.split(key, 3)
@@ -88,7 +98,7 @@ class CandidateGenerator:
 
         z = z_pop
         for g in range(generations):
-            z = gen_step(z, jax.random.fold_in(rng, g))
+            z = gen_step(self.enc_params, z, jax.random.fold_in(rng, g))
         return z
 
     def predicted_tc(self, z: jnp.ndarray) -> np.ndarray:

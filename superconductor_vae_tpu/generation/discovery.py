@@ -10,6 +10,7 @@ KV-cache rollout; only string validation/ranking is host-side.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -77,11 +78,13 @@ class SuperconductorDiscoveryPipeline:
 
     def _full_heads(self, z: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Inference-mode head assembly from z (no input features)."""
-        @jax.jit
-        def run(z):
+        enc_params = self.enc_params
+
+        @functools.partial(jax.jit, static_argnums=())
+        def run(enc_params, z):
             # re-run the z-dependent heads exactly as the encoder forward does
             enc = self.encoder
-            dec_out = enc.apply(self.enc_params, z,
+            dec_out = enc.apply(enc_params, z,
                                 method=MaterialsEncoder.decode)
             # fraction/count/hp/competence heads operate on z; reuse forward
             # by invoking the head modules through a bound apply
@@ -90,7 +93,7 @@ class SuperconductorDiscoveryPipeline:
                 frac_out = mdl.fraction_heads(z)
                 hp = mdl.hp_d1(jax.nn.relu(mdl.hp_d0(z)))[:, 0]
                 return comp, frac_out, hp
-            comp, frac_out, hp = enc.apply(self.enc_params, method=heads)
+            comp, frac_out, hp = enc.apply(enc_params, method=heads)
             fraction_pred = frac_out[:, :enc.cfg.max_elements]
             count = frac_out[:, -1]
             sc_input = jnp.concatenate([
@@ -103,9 +106,9 @@ class SuperconductorDiscoveryPipeline:
                                            approximate=False))
                 return m.sc_d2(jax.nn.gelu(m.sc_d1(h_sc),
                                            approximate=False))[:, 0]
-            sc = enc.apply(self.enc_params, method=sc_fn)
+            sc = enc.apply(enc_params, method=sc_fn)
             fam = enc.apply(
-                self.enc_params,
+                enc_params,
                 method=lambda m: m.family_head(dec_out['backbone_h'],
                                                jax.lax.stop_gradient(sc)))
             heads_vec = jnp.concatenate([
@@ -115,7 +118,7 @@ class SuperconductorDiscoveryPipeline:
             stoich = jnp.concatenate([fraction_pred, count[:, None]], axis=1)
             return {'heads_vec': heads_vec, 'stoich': stoich,
                     'tc_pred': dec_out['tc_pred'], 'sc_pred': sc}
-        return run(z)
+        return run(enc_params, z)
 
     def run(self, n_candidates: int = 256, seed: int = 0,
             strategies: tuple = ('clusters', 'gradient', 'interpolation',

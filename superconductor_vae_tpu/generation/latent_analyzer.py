@@ -53,10 +53,12 @@ class LatentSpaceAnalyzer:
         self.enc_params = enc_params
 
     def build_cache(self, ds: DatasetArrays, batch_size: int = 512) -> LatentCache:
+        # params passed as an argument (closing over them would embed 5M+
+        # floats as constants in the compiled program)
         @jax.jit
-        def embed(batch):
+        def embed(enc_params, batch):
             out = self.encoder.apply(
-                self.enc_params, batch['element_indices'],
+                enc_params, batch['element_indices'],
                 batch['element_fractions'], batch['element_mask'],
                 batch['magpie'], batch['tc'])
             return out['z'], out['tc_pred']
@@ -68,7 +70,7 @@ class LatentSpaceAnalyzer:
             pad = batch_size - len(idx)
             full = np.concatenate([idx, np.zeros(pad, np.int64)]) if pad else idx
             batch = {k: jnp.asarray(v) for k, v in ds.batch(full).items()}
-            z, tc = embed(batch)
+            z, tc = embed(self.enc_params, batch)
             zs.append(np.asarray(z)[: len(idx)])
             tcs.append(np.asarray(tc)[: len(idx)])
         return LatentCache(

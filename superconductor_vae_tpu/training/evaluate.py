@@ -57,8 +57,10 @@ def evaluate_autoregressive(
         use_type_masking=tcfg.use_type_masking_ar)
     type_masks = luts['type_masks'] if tcfg.use_type_masking_ar else None
 
+    # params are ARGUMENTS, not closure constants — closing over 108M params
+    # embeds them in the serialized HLO and overflows remote-compile limits
     @jax.jit
-    def eval_batch(batch):
+    def eval_batch(enc_params, dec_params, batch):
         enc_out = encoder.apply(
             enc_params, batch['element_indices'], batch['element_fractions'],
             batch['element_mask'], batch['magpie'], batch['tc'])
@@ -95,7 +97,8 @@ def evaluate_autoregressive(
         pad_n = batch_size - len(idx)
         full_idx = np.concatenate([idx, np.zeros(pad_n, np.int64)]) if pad_n else idx
         batch = {k: jnp.asarray(v) for k, v in ds.batch(full_idx).items()}
-        out = jax.tree.map(np.asarray, eval_batch(batch))
+        out = jax.tree.map(np.asarray,
+                           eval_batch(enc_params, dec_params, batch))
         m = len(idx)
 
         targets = ds.tokens[idx][:, 1:]

@@ -51,8 +51,10 @@ def train(
     limit: Optional[int] = None,
     dataset: Optional[DatasetArrays] = None,
     use_mesh: bool = True,
-    log_fn=print,
+    log_fn=None,
 ) -> Dict[str, object]:
+    if log_fn is None:
+        log_fn = lambda *a, **k: print(*a, flush=True, **k)
     tcfg = train_config or TrainConfig()
     out_dir = Path(output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -34,6 +34,10 @@ def main():
     p.add_argument('--steps', type=int, default=20)
     p.add_argument('--rl', action='store_true',
                    help='include SCST rollouts in the step')
+    p.add_argument('--gen', action='store_true',
+                   help='benchmark batched KV-cache generation instead '
+                        '(formulas/s; baseline = reference 57.6 forward '
+                        'passes/s, COMPUTATIONAL_EFFICIENCY.md:39)')
     args = p.parse_args()
 
     if args.quick:
@@ -73,6 +77,39 @@ def main():
         mcfg, tcfg, rng, dtype=dtype)
     tokenizer = default_tokenizer(max_len=mcfg.max_len)
     luts = build_luts(tokenizer)
+
+    if args.gen:
+        from superconductor_vae_tpu.generation import (
+            GenerationConfig, generate_with_kv_cache,
+        )
+        gcfg = GenerationConfig(max_len=mcfg.max_len, temperature=0.0,
+                                stop_boost=10.0, hard_stop_threshold=0.8,
+                                use_type_masking=True)
+        z = jax.random.normal(rng, (batch_size, mcfg.latent_dim), dtype)
+        stoich = jnp.zeros((batch_size, mcfg.stoich_input_dim), dtype)
+        hv = jnp.zeros((batch_size, mcfg.heads_input_dim), dtype)
+        masks = luts['type_masks']
+
+        @jax.jit
+        def gen(dec_params, rng):
+            return generate_with_kv_cache(
+                decoder, dec_params, z, stoich, hv, rng, gcfg,
+                type_masks=masks)['tokens']
+
+        out = gen(state.dec_params, rng)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            out = gen(state.dec_params, jax.random.fold_in(rng, i))
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        per_chip = args.steps * batch_size / dt / jax.device_count()
+        print(json.dumps({
+            'metric': 'kv_cache_generation_formulas_per_s_per_chip',
+            'value': round(per_chip, 2), 'unit': 'formulas/s/chip',
+            'vs_baseline': round(per_chip / 57.6, 2),
+        }))
+        return
     step = make_train_step(encoder, decoder, tcfg, tx_enc, tx_dec, luts,
                            rl_enabled=args.rl, donate=True)
 

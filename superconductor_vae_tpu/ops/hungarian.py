@@ -29,33 +29,44 @@ def _popcounts(n: int) -> np.ndarray:
     return np.array([bin(s).count('1') for s in range(1 << n)], np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _level_tables(n: int):
+    """Static subset ids grouped by popcount, plus per-subset predecessor
+    ids dp[S \\ {j}] for every j — lets the DP run as n vectorized level
+    updates instead of 2^n sequential states."""
+    pops = _popcounts(n)
+    levels = []
+    for k in range(1, n + 1):
+        subsets = np.where(pops == k)[0].astype(np.int32)          # [M_k]
+        preds = subsets[:, None] ^ (1 << np.arange(n))[None, :]    # [M_k, n]
+        in_s = (subsets[:, None] & (1 << np.arange(n))[None, :]) > 0
+        levels.append((subsets, preds.astype(np.int32), in_s))
+    return levels
+
+
 def hungarian_assignment(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact min-cost perfect matching on an [n, n] cost matrix.
 
-    Returns (row_to_col [n] int32, total_cost scalar). Rows are assigned in
-    index order to the DP subset cardinality (row i = i-th assigned).
+    Bitmask subset DP, vectorized per popcount level: level k computes all
+    C(n,k) states at once from level k-1 (n sequential steps total instead
+    of 2^n).  Returns (row_to_col [n] int32, total_cost scalar); row i is
+    the i-th assigned (DP cardinality order == row order).
     """
     n = cost.shape[0]
     size = 1 << n
+    dp = jnp.full((size,), _BIG, cost.dtype).at[0].set(0.0)
+    parent = jnp.zeros((size,), jnp.int32)
+
+    for k, (subsets, preds, in_s) in enumerate(_level_tables(n)):
+        s_ids = jnp.asarray(subsets)
+        cand = jnp.where(jnp.asarray(in_s),
+                         dp[jnp.asarray(preds)] + cost[k, :][None, :],
+                         _BIG)                                     # [M_k, n]
+        j = jnp.argmin(cand, axis=1)
+        dp = dp.at[s_ids].set(jnp.min(cand, axis=1))
+        parent = parent.at[s_ids].set(j.astype(jnp.int32))
+
     pop = jnp.asarray(_popcounts(n))
-    bits = jnp.arange(n)
-    bit_vals = (1 << bits).astype(jnp.int32)
-
-    dp0 = jnp.full((size,), _BIG, cost.dtype).at[0].set(0.0)
-    parent0 = jnp.zeros((size,), jnp.int32)
-
-    def body(s, carry):
-        dp, parent = carry
-        i = pop[s] - 1                                   # row index
-        in_s = (s & bit_vals) > 0                        # [n]
-        prev = dp[s ^ bit_vals]                          # dp[S \ {j}]
-        cand = jnp.where(in_s, prev + cost[i, :], _BIG)
-        j = jnp.argmin(cand)
-        dp = dp.at[s].set(cand[j])
-        parent = parent.at[s].set(j.astype(jnp.int32))
-        return dp, parent
-
-    dp, parent = jax.lax.fori_loop(1, size, body, (dp0, parent0))
 
     def back(k, carry):
         s, perm = carry

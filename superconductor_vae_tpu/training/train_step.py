@@ -97,7 +97,10 @@ def create_train_state(
 
     e_rng, d_rng = jax.random.split(rng)
     b = 2
-    enc_params = encoder.init(
+    # jit the inits: eager init of a 108M model dispatches thousands of ops
+    # individually (minutes over the TPU tunnel); one compiled program is
+    # near-instant
+    enc_params = jax.jit(encoder.init)(
         e_rng,
         jnp.zeros((b, mcfg.max_elements), jnp.int32),
         jnp.zeros((b, mcfg.max_elements)),
@@ -105,7 +108,7 @@ def create_train_state(
         jnp.zeros((b, mcfg.magpie_dim)),
         jnp.zeros((b,)),
     )
-    dec_params = decoder.init(
+    dec_params = jax.jit(decoder.init)(
         d_rng,
         jnp.zeros((b, mcfg.latent_dim)),
         jnp.zeros((b, mcfg.max_len), jnp.int32),
@@ -117,13 +120,14 @@ def create_train_state(
     tx_enc = make_optimizer(tcfg)
     tx_dec = make_optimizer(tcfg)
     if set_decoder is not None:
-        set_params = set_decoder.init(
+        set_params = jax.jit(set_decoder.init)(
             jax.random.fold_in(rng, 2), jnp.zeros((b, mcfg.latent_dim)))
-        set_opt = tx_dec.init(set_params)
+        set_opt = jax.jit(tx_dec.init)(set_params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         enc_params=enc_params, dec_params=dec_params,
-        enc_opt=tx_enc.init(enc_params), dec_opt=tx_dec.init(dec_params),
+        enc_opt=jax.jit(tx_enc.init)(enc_params),
+        dec_opt=jax.jit(tx_dec.init)(dec_params),
         set_params=set_params, set_opt=set_opt,
     )
     return encoder, decoder, state, tx_enc, tx_dec

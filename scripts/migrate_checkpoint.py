@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Checkpoint migration CLI.
+
+Equivalent of the reference migration suite
+(reference: scripts/migrate_v12_to_v13.py, migrate_v13_to_v14.py,
+migrate_vocab_expansion.py, migrate_checkpoint_v1242_wider.py): converts
+PyTorch reference checkpoints to our Orbax format, expands decoder
+vocabularies (isotope rows initialized from parent elements), and deepens
+decoders function-preservingly.
+
+Usage:
+    # torch .pt -> orbax
+    python scripts/migrate_checkpoint.py from-torch ckpt.pt --out outputs/converted
+    # grow vocab (e.g. after adding fractions/isotopes)
+    python scripts/migrate_checkpoint.py expand-vocab outputs/checkpoints/best \
+        --new-vocab 4800 --out outputs/expanded
+    # add decoder layers
+    python scripts/migrate_checkpoint.py deepen outputs/checkpoints/best \
+        --layers 2 --out outputs/deeper
+"""
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest='cmd', required=True)
+
+    t = sub.add_parser('from-torch')
+    t.add_argument('checkpoint')
+    t.add_argument('--out', required=True)
+
+    e = sub.add_parser('expand-vocab')
+    e.add_argument('checkpoint')
+    e.add_argument('--new-vocab', type=int, required=True)
+    e.add_argument('--out', required=True)
+
+    d = sub.add_parser('deepen')
+    d.add_argument('checkpoint')
+    d.add_argument('--layers', type=int, default=1)
+    d.add_argument('--out', required=True)
+
+    args = p.parse_args()
+
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    from superconductor_vae_tpu.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    from superconductor_vae_tpu.models.config import ModelConfig
+    from superconductor_vae_tpu.training import TrainConfig
+    from superconductor_vae_tpu.training.train_step import TrainState
+    import jax.numpy as jnp
+
+    tcfg = TrainConfig()
+
+    if args.cmd == 'from-torch':
+        from superconductor_vae_tpu.checkpoint.torch_convert import (
+            load_torch_checkpoint,
+        )
+        enc, dec, mcfg, meta = load_torch_checkpoint(args.checkpoint)
+        state = TrainState(step=jnp.zeros((), jnp.int32),
+                           enc_params=enc, dec_params=dec,
+                           enc_opt=None, dec_opt=None)
+        path = save_checkpoint(args.out, state, mcfg, tcfg,
+                               epoch=int(meta.get('epoch', 0)),
+                               metrics=meta, tag='converted')
+        print(f'converted torch checkpoint -> {path} '
+              f'(detected {mcfg.d_model=} {mcfg.num_layers=} '
+              f'{mcfg.vocab_size=})')
+        return
+
+    restored, meta = load_checkpoint(args.checkpoint)
+    mcfg = ModelConfig(**{k: tuple(v) if isinstance(v, list) else v
+                          for k, v in meta['model_config'].items()})
+
+    if args.cmd == 'expand-vocab':
+        from superconductor_vae_tpu.models.surgery import (
+            expand_decoder_vocab, isotope_parent_map,
+        )
+        from superconductor_vae_tpu.tokenizer import default_tokenizer
+        pmap = isotope_parent_map(default_tokenizer(max_len=mcfg.max_len))
+        new_dec = expand_decoder_vocab(restored['dec_params'],
+                                       args.new_vocab, parent_map=pmap)
+        mcfg2 = dataclasses.replace(mcfg, vocab_size=args.new_vocab)
+        suffix = 'vocab-expanded'
+    else:  # deepen
+        from superconductor_vae_tpu.models.surgery import deepen_decoder
+        new_dec = deepen_decoder(restored['dec_params'], args.layers)
+        mcfg2 = dataclasses.replace(
+            mcfg, num_layers=mcfg.num_layers + args.layers)
+        suffix = f'deepened+{args.layers}'
+
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       enc_params=restored['enc_params'],
+                       dec_params=new_dec, enc_opt=None, dec_opt=None,
+                       set_params=restored.get('set_params'))
+    path = save_checkpoint(args.out, state, mcfg2, tcfg,
+                           epoch=int(meta.get('epoch', 0)), tag=suffix)
+    print(f'{suffix} -> {path}')
+
+
+if __name__ == '__main__':
+    main()

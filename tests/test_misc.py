@@ -1,0 +1,96 @@
+"""Aux components: legacy models, materials API, topology, profiling, env."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestLegacyModels:
+    def test_bidirectional_vae(self):
+        from superconductor_vae_tpu.models.legacy import BidirectionalVAE
+        m = BidirectionalVAE(feature_dim=16, hidden_dims=(32, 16),
+                             latent_dim=8)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
+        params = m.init(jax.random.PRNGKey(1), x, rng=jax.random.PRNGKey(2))
+        out = m.apply(params, x, rng=jax.random.PRNGKey(3))
+        assert out['recon'].shape == (4, 16)
+        assert out['z'].shape == (4, 8)
+        losses = BidirectionalVAE.loss(out, x, jnp.zeros(4))
+        for v in losses.values():
+            assert np.isfinite(float(v))
+        # deterministic mode reproducible
+        o1 = m.apply(params, x, sample=False)
+        o2 = m.apply(params, x, sample=False)
+        np.testing.assert_array_equal(np.asarray(o1['z']), np.asarray(o2['z']))
+
+    def test_pointer_generator(self):
+        from superconductor_vae_tpu.models.legacy import PointerGeneratorDecoder
+        m = PointerGeneratorDecoder(vocab_size=150, d_model=32, nhead=4)
+        src = jnp.asarray([[10, 20, 30, 0]], jnp.int32)
+        src_mask = src > 0
+        tgt = jnp.asarray([[1, 10, 20]], jnp.int32)
+        params = m.init(jax.random.PRNGKey(0), src, src_mask, tgt)
+        out = m.apply(params, src, src_mask, tgt)
+        assert out['log_probs'].shape == (1, 3, 150)
+        # mixture is a valid distribution
+        probs = np.exp(np.asarray(out['log_probs']))
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+        assert ((np.asarray(out['p_gen']) >= 0)
+                & (np.asarray(out['p_gen']) <= 1)).all()
+
+
+def test_materials_api_fallback():
+    from superconductor_vae_tpu.utils.materials_api import MaterialsProjectClient
+    client = MaterialsProjectClient(api_key=None)
+    rows = client.fetch_non_sc(40)
+    assert len(rows) == 40
+    assert all(r['category'].startswith('Non-SC') for r in rows)
+    from superconductor_vae_tpu.data import parse_formula_composition
+    assert all(parse_formula_composition(r['formula']) for r in rows)
+
+
+def test_topology_analyzer(tmp_path):
+    from superconductor_vae_tpu.analysis import TopologyAnalyzer
+    rng = np.random.default_rng(0)
+    # 3D manifold embedded in 32D
+    z = rng.normal(size=(300, 3)) @ rng.normal(size=(3, 32))
+    is_sc = (rng.random(300) < 0.5).astype(np.int32)
+    tc = np.abs(rng.normal(30, 20, 300))
+    out = TopologyAnalyzer(n_clusters=4, output_dir=tmp_path).analyze(
+        z, is_sc=is_sc, tc_kelvin=tc, epoch=1)
+    assert 1.5 < out['intrinsic_dim_mle'] < 6.0   # ~3D manifold
+    assert out['pca_effective_rank'] < 8
+    assert 'sc_boundary_ratio' in out
+    assert len(out['cluster_sizes']) == 4
+    assert (tmp_path / 'topology_summary.jsonl').exists()
+
+
+def test_phase_timer():
+    import time
+    from superconductor_vae_tpu.utils.profiling import PhaseTimer
+    t = PhaseTimer()
+    with t.phase('a'):
+        time.sleep(0.01)
+    with t.phase('b', sync=jnp.ones(4)):
+        pass
+    assert t.totals['a'] >= 0.01
+    assert 'a' in t.summary() and 'b' in t.summary()
+    t.reset()
+    assert not t.totals
+
+
+def test_env_detection():
+    from superconductor_vae_tpu.utils.env_config import detect_environment
+    env = detect_environment()
+    assert env.platform in ('cpu', 'tpu', 'gpu')
+    assert env.n_devices >= 1
+    assert env.suggested_batch_size > 0
+    assert env.as_overrides()['n_samples_rloo'] >= 2
+
+
+def test_theory_config_citation():
+    # bcs cap should be a sane Allen-Dynes number (tens of K)
+    from superconductor_vae_tpu.ops.theory import TheoryConfig, _bcs_tc_cap
+    cap = _bcs_tc_cap(TheoryConfig())
+    assert 10 < cap < 100

@@ -31,53 +31,63 @@ def _popcounts(n: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _level_tables(n: int):
-    """Static subset ids grouped by popcount, plus per-subset predecessor
-    ids dp[S \\ {j}] for every j — lets the DP run as n vectorized level
-    updates instead of 2^n sequential states."""
+    """Static per-popcount-level tables for a SCATTER-FREE DP.
+
+    For level k (1-indexed): the subset ids, the RANK (index within level
+    k-1's array) of each predecessor S \\ {j}, and the j-in-S mask.  Also a
+    global [2^n] subset-id -> (level, rank) table for backtracking.  All
+    lookups in the DP become gathers — no scatters, which the experimental
+    axon TPU runtime has crashed on.
+    """
     pops = _popcounts(n)
+    size = 1 << n
+    rank = np.zeros(size, np.int32)
+    for k in range(0, n + 1):
+        ids = np.where(pops == k)[0]
+        rank[ids] = np.arange(len(ids), dtype=np.int32)
+
     levels = []
     for k in range(1, n + 1):
         subsets = np.where(pops == k)[0].astype(np.int32)          # [M_k]
         preds = subsets[:, None] ^ (1 << np.arange(n))[None, :]    # [M_k, n]
         in_s = (subsets[:, None] & (1 << np.arange(n))[None, :]) > 0
-        levels.append((subsets, preds.astype(np.int32), in_s))
-    return levels
+        pred_rank = rank[preds].astype(np.int32)                   # [M_k, n]
+        levels.append((subsets, pred_rank, in_s))
+    return levels, rank
 
 
 def hungarian_assignment(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact min-cost perfect matching on an [n, n] cost matrix.
 
-    Bitmask subset DP, vectorized per popcount level: level k computes all
-    C(n,k) states at once from level k-1 (n sequential steps total instead
-    of 2^n).  Returns (row_to_col [n] int32, total_cost scalar); row i is
-    the i-th assigned (DP cardinality order == row order).
+    Bitmask subset DP, vectorized per popcount level (n sequential level
+    updates covering all 2^n states) and built entirely from gathers over
+    per-level arrays.  Returns (row_to_col [n] int32, total_cost scalar);
+    row i is the i-th assigned (DP cardinality order == row order).
     """
     n = cost.shape[0]
-    size = 1 << n
-    dp = jnp.full((size,), _BIG, cost.dtype).at[0].set(0.0)
-    parent = jnp.zeros((size,), jnp.int32)
+    levels, rank = _level_tables(n)
 
-    for k, (subsets, preds, in_s) in enumerate(_level_tables(n)):
-        s_ids = jnp.asarray(subsets)
+    dp_prev = jnp.zeros((1,), cost.dtype)          # level 0: empty set
+    dp_levels = []                                  # per-level parent argmins
+    parents = []
+    for k, (subsets, pred_rank, in_s) in enumerate(levels):
         cand = jnp.where(jnp.asarray(in_s),
-                         dp[jnp.asarray(preds)] + cost[k, :][None, :],
+                         dp_prev[jnp.asarray(pred_rank)] + cost[k, :][None, :],
                          _BIG)                                     # [M_k, n]
-        j = jnp.argmin(cand, axis=1)
-        dp = dp.at[s_ids].set(jnp.min(cand, axis=1))
-        parent = parent.at[s_ids].set(j.astype(jnp.int32))
+        j = jnp.argmin(cand, axis=1).astype(jnp.int32)
+        dp_prev = jnp.min(cand, axis=1)
+        dp_levels.append(dp_prev)
+        parents.append(j)
 
-    pop = jnp.asarray(_popcounts(n))
-
-    def back(k, carry):
-        s, perm = carry
-        j = parent[s]
-        row = pop[s] - 1
-        perm = perm.at[row].set(j)
-        return s ^ (1 << j), perm
-
-    _, perm = jax.lax.fori_loop(0, n, back,
-                                (jnp.int32(size - 1), jnp.zeros(n, jnp.int32)))
-    return perm, dp[size - 1]
+    # backtrack: one subset per level, resolved via the static rank table
+    rank_t = jnp.asarray(rank)
+    perm0 = jnp.zeros(n, jnp.int32)
+    s = jnp.int32((1 << n) - 1)
+    for k in range(n - 1, -1, -1):
+        j = parents[k][rank_t[s]]
+        perm0 = perm0.at[k].set(j)                  # static index: no scatter op
+        s = s ^ (jnp.int32(1) << j)
+    return perm0, dp_levels[-1][0]
 
 
 batched_hungarian = jax.vmap(hungarian_assignment)

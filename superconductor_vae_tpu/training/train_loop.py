@@ -95,7 +95,9 @@ def train(
         mcfg, tcfg, rng)
     luts = build_luts(tokenizer)
 
-    mesh = make_mesh() if use_mesh else None
+    # single-device: skip the mesh entirely — sharding adds nothing and the
+    # experimental axon TPU platform has crashed on NamedSharding transfers
+    mesh = make_mesh() if (use_mesh and len(jax.devices()) > 1) else None
 
     steps = {}
 

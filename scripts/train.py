@@ -33,6 +33,9 @@ def main():
     p.add_argument('--tiny', action='store_true',
                    help='tiny model config (CI/smoke)')
     p.add_argument('--rl-weight', type=float, default=None)
+    p.add_argument('--resume', default=None,
+                   help="'auto' or a checkpoint path")
+    p.add_argument('--checkpoint-interval', type=int, default=None)
     args = p.parse_args()
 
     if args.cpu:
@@ -53,6 +56,10 @@ def main():
         tcfg.learning_rate = args.lr
     if args.rl_weight is not None:
         tcfg.rl_weight = args.rl_weight
+    if args.resume is not None:
+        tcfg.resume = args.resume
+    if args.checkpoint_interval is not None:
+        tcfg.checkpoint_interval = args.checkpoint_interval
 
     mcfg = tiny_test_config() if args.tiny else None
     if args.tiny:

@@ -44,9 +44,10 @@ class TheoryConfig:
 
 
 def _bcs_tc_cap(cfg: TheoryConfig) -> float:
+    import math
     lam, mu = cfg.bcs_lambda_max, cfg.bcs_mu_star
-    return (cfg.bcs_theta_d / 1.2) * float(
-        jnp.exp(-1.04 * (1 + lam) / (lam - mu * (1 + 0.62 * lam))))
+    return (cfg.bcs_theta_d / 1.2) * math.exp(
+        -1.04 * (1 + lam) / (lam - mu * (1 + 0.62 * lam)))
 
 
 def theory_loss(

@@ -113,6 +113,17 @@ class TrainConfig:
     oversample_hard_sequences: bool = True
     oversample_high_tc: bool = True
 
+    # A5 round-trip cycle consistency (reference: :968-972; zoo default ON)
+    use_round_trip: bool = True
+    round_trip_subset_fraction: float = 0.1
+    a5_z_weight: float = 1.0
+    a5_tc_weight: float = 5.0
+    a5_weight: float = 1.0
+
+    # theory regularization (reference: :771-774 — computed, weight 0)
+    use_theory_loss: bool = True
+    theory_weight: float = 0.0
+
     # curriculum AR warmup (reference: :1059-1066)
     curriculum_ar_enabled: bool = False
 

@@ -217,6 +217,37 @@ def make_train_step(
             lcfg, enc_out, dec_out, batch, luts['type_table'],
             rl_loss=rl, rl_reward_mean=reward_mean, dyn=dyn, physz_loss=pz)
 
+        # A5 round-trip cycle consistency on a subset (zoo default ON in the
+        # reference, train_v12_clean.py:968-972)
+        if tcfg.use_round_trip and tcfg.a5_weight > 0:
+            from ..ops.round_trip import round_trip_loss
+            subset = max(int(batch['tokens'].shape[0]
+                             * tcfg.round_trip_subset_fraction), 1)
+            rt = round_trip_loss(
+                encoder, enc_params, decoder, dec_params,
+                enc_out['z'], stoich, heads_vec,
+                enc_out['magpie_pred'], enc_out['tc_pred'],
+                luts, jax.random.fold_in(rng, 5), subset,
+                z_weight=tcfg.a5_z_weight, tc_weight=tcfg.a5_tc_weight,
+                max_len=decoder.cfg.max_len)
+            total = total + (lcfg.constraint_zoo_weight * tcfg.a5_weight
+                             * rt['round_trip_loss'])
+            metrics['a5_z_mse'] = rt['z_mse']
+            metrics['a5_tc_mse'] = rt['tc_mse']
+            metrics['total'] = total
+
+        # theory regularization (reference keeps it computed at weight 0)
+        if tcfg.use_theory_loss:
+            from ..ops.losses import tc_kelvin
+            from ..ops.theory import theory_loss
+            th = theory_loss(
+                tc_kelvin(enc_out['tc_pred'], lcfg), batch['family'],
+                batch['element_fractions'], batch['element_indices'],
+                batch['element_mask'])
+            total = total + dyn.get('theory_w', tcfg.theory_weight) * th['total']
+            metrics['theory_loss'] = th['total']
+            metrics['total'] = total
+
         # V16 Hungarian set decoder — parallel path on the same z
         if set_decoder is not None:
             z_for_set = (jax.lax.stop_gradient(enc_out['z'])

@@ -378,7 +378,11 @@ def compute_sample_weights(
     if balanced:
         n_sc = int((ds.is_sc == 1).sum())
         n_non = n - n_sc
-        if n_non > 0 and n_sc > 0:
+        # only balance when the minority class is substantial — with a
+        # handful of minority rows, 50/50 balancing would replay the same
+        # few samples hundreds of times per epoch
+        minority = min(n_sc, n_non)
+        if minority >= max(20, int(0.01 * n)):
             w = np.where(ds.is_sc == 1, 1.0 / n_sc, 1.0 / n_non)
     if oversample_hard:
         seq_len = (ds.tokens != 0).sum(axis=1).astype(np.float64)

@@ -94,20 +94,14 @@ def pallas_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kp = pad(k, tk_p).transpose(0, 2, 1, 3).reshape(b * h, tk_p, dh_p)
     vp = pad(v, tk_p).transpose(0, 2, 1, 3).reshape(b * h, tk_p, dh_p)
 
-    # mask padded KEY positions by folding them into the causal predicate:
-    # give padded keys a -inf contribution via a sentinel on K values is
-    # wrong; instead extend causal masking — for non-causal, padded keys are
-    # excluded because q_pos >= k_pos fails only in causal mode, so we mask
-    # explicitly by zeroing padded K and relying on softmax shift... the
-    # robust route: always run the kernel "causal or in-range":
-    del tk  # clarity: kernel masks by position below
-
+    # The kernel always runs with the causal predicate, which also masks the
+    # padded key positions: pads sit at k_pos >= real tk, and in causal
+    # self-attention (tq == tk) every real query has q_pos < tk, so padded
+    # keys never pass q_pos >= k_pos. Non-causal cross-attention takes the
+    # XLA path in fused_attention instead.
     kernel = functools.partial(
         _attn_kernel, block_k=block_k, seq_len=tk_p,
         causal=True, q_block=block_q, real_dh=dh)
-    # NOTE: padded keys sit at positions >= real tk; with causal=True they
-    # are masked for all real queries when tq == tk (self-attention). For
-    # cross-attention (non-causal) use XLA fallback (see fused_attention).
 
     out = pl.pallas_call(
         kernel,

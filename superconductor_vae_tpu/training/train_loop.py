@@ -214,7 +214,8 @@ def train(
         dyn.update({
             'tc_w': jnp.asarray(tc_w), 'magpie_w': jnp.asarray(mg_w),
             'rl_w': jnp.asarray(rl_w), 'physz_w': jnp.asarray(pz_w),
-            'rl_temperature': jnp.asarray(max(rl_ctl.temperature(epoch), 0.011)),
+            'rl_temperature': jnp.asarray(max(
+                rl_ctl.temperature(epoch) * ent_mgr.temperature_scale, 0.011)),
             'entropy_weight': jnp.asarray(ent_w),
         })
         dyn.update({k: jnp.asarray(v) for k, v in skip_m.items()})

@@ -22,14 +22,23 @@ from typing import Dict, Optional
 import numpy as np
 
 
-def _knn_distances(x: np.ndarray, k: int, sample: int = 2048,
+def _pairwise_sq(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[n, m] squared distances via the |a|^2 + |b|^2 - 2ab identity —
+    never materializes an [n, m, d] broadcast tensor (at d=2048 that
+    would be terabytes)."""
+    a2 = (a * a).sum(-1)[:, None]
+    b2 = (b * b).sum(-1)[None, :]
+    return np.maximum(a2 + b2 - 2.0 * (a @ b.T), 0.0)
+
+
+def _knn_distances(x: np.ndarray, k: int, sample: int = 1024,
                    seed: int = 0) -> np.ndarray:
     """[n, k] sorted distances to the k nearest neighbors (subsampled)."""
     rng = np.random.default_rng(seed)
     idx = (rng.choice(len(x), sample, replace=False)
            if len(x) > sample else np.arange(len(x)))
     q = x[idx]
-    d2 = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    d2 = _pairwise_sq(q, x)
     d2[np.arange(len(q)), idx] = np.inf  # self
     part = np.partition(d2, k, axis=1)[:, :k]
     return np.sqrt(np.sort(part, axis=1))
@@ -51,7 +60,7 @@ def correlation_dimension(x: np.ndarray, n_r: int = 10,
     idx = (rng.choice(len(x), sample, replace=False)
            if len(x) > sample else np.arange(len(x)))
     q = x[idx]
-    d = np.sqrt(((q[:, None, :] - q[None, :, :]) ** 2).sum(-1))
+    d = np.sqrt(_pairwise_sq(q, q))
     d = d[np.triu_indices(len(q), 1)]
     d = d[d > 0]
     if len(d) < 10:
@@ -103,7 +112,7 @@ class TopologyAnalyzer:
         rng = np.random.default_rng(0)
         n = min(len(z), 1024)
         sub = z[rng.choice(len(z), n, replace=False)]
-        d = np.sqrt(((sub[:, None] - sub[None]) ** 2).sum(-1))
+        d = np.sqrt(_pairwise_sq(sub, sub))
         tri = d[np.triu_indices(n, 1)]
         out['pairwise_mean'] = float(tri.mean())
         out['pairwise_std'] = float(tri.std())

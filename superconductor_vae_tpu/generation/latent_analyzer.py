@@ -29,13 +29,19 @@ class LatentCache:
     formulas: List[str]
 
 
+def _sq_dists(x: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """[n, k] squared distances without the [n, k, d] broadcast tensor."""
+    return ((x * x).sum(-1)[:, None] + (centers * centers).sum(-1)[None, :]
+            - 2.0 * (x @ centers.T))
+
+
 def _kmeans(x: np.ndarray, k: int, iters: int = 50,
             seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
     assign = np.zeros(len(x), np.int32)
     for _ in range(iters):
-        d = ((x[:, None, :] - centers[None]) ** 2).sum(-1)
+        d = _sq_dists(x, centers)
         new_assign = d.argmin(1)
         if (new_assign == assign).all():
             break

@@ -40,7 +40,8 @@ class CoverageTracker:
 
     @staticmethod
     def assign(z: np.ndarray, centers: Optional[np.ndarray] = None) -> np.ndarray:
-        d = ((z[:, None, :] - centers[None]) ** 2).sum(-1)
+        d = ((z * z).sum(-1)[:, None] + (centers * centers).sum(-1)[None, :]
+             - 2.0 * (z @ centers.T))
         return d.argmin(1)
 
     def record_visits(self, z: np.ndarray,

@@ -26,6 +26,7 @@ class TrainConfig:
     weight_decay: float = 0.01
     grad_clip: float = 1.0
     batch_size: int = 256               # global batch (split over DP axis)
+    accumulation_steps: int = 1         # gradient accumulation (reference: :430)
     max_formula_len: int = 30
     checkpoint_interval: int = 50
     eval_interval: int = 4              # true-AR eval cadence

@@ -58,18 +58,25 @@ def build_luts(tokenizer: FractionAwareTokenizer) -> Dict[str, jnp.ndarray]:
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW with global-norm clipping; LR is an injected hyperparam so the
     host LR schedule (cosine + warmup + rollback halving + migration boost)
-    updates it in the optimizer state without recompiling."""
-    return optax.chain(
+    updates it in the optimizer state without recompiling.  Gradient
+    accumulation (reference: accumulation_steps, train_v12_clean.py:430)
+    wraps the chain in optax.MultiSteps."""
+    tx = optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip),
         optax.inject_hyperparams(optax.adamw)(
             learning_rate=tcfg.learning_rate,
             weight_decay=tcfg.weight_decay),
     )
+    if tcfg.accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tcfg.accumulation_steps)
+    return tx
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected LR in an optimizer state pytree."""
-    opt_state[1].hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
+    """Update the injected LR in an optimizer state pytree (handles the
+    MultiSteps wrapper)."""
+    inner = getattr(opt_state, 'inner_opt_state', opt_state)
+    inner[1].hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
     return opt_state
 
 

@@ -205,3 +205,15 @@ def test_resume_from_checkpoint(tmp_path):
     assert any('[resume]' in str(l) for l in logs)
     assert len(out2['history']) == 1
     assert out2['history'][0]['epoch'] == 2
+
+
+def test_gradient_accumulation(tmp_path):
+    from superconductor_vae_tpu.models.config import tiny_test_config
+    mcfg = tiny_test_config()
+    ds = synthetic_dataset(n=32, max_len=mcfg.max_len,
+                           magpie_dim=mcfg.magpie_dim)
+    cfg = small_train_config(num_epochs=1)
+    cfg.accumulation_steps = 2
+    out = train(model_config=mcfg, train_config=cfg, dataset=ds,
+                output_dir=tmp_path, use_mesh=False, log_fn=lambda *a: None)
+    assert np.isfinite(out['history'][0]['total'])

@@ -43,6 +43,15 @@ def replicate(mesh: Mesh):
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array]:
-    """Transfer a host batch, splitting the leading axis across ``data``."""
+    """Transfer a host batch, splitting the leading axis across ``data``.
+
+    Single-host: a sharded device_put.  Multi-host: each host holds its own
+    shard of the global batch (data/sampler.py::shard_batch_indices draws
+    it) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — no cross-host data motion.
+    """
     sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sh, v)
+                for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}

@@ -227,6 +227,11 @@ def train(
         n_batches = 0
         n_samples = 0
         for batch_idx in sampler.epoch(epoch):
+            if jax.process_count() > 1:
+                # every host draws the same seeded stream; keep our shard
+                from ..data.sampler import shard_batch_indices
+                batch_idx = shard_batch_indices(
+                    batch_idx, jax.process_index(), jax.process_count())
             batch = ds.batch(batch_idx)
             batch = (shard_batch(batch, mesh) if mesh is not None
                      else {k: jnp.asarray(v) for k, v in batch.items()})

@@ -222,8 +222,10 @@ def train(
 
         step_fn = get_step(rl_enabled=rl_w > 0)
 
-        # epoch over weighted batches
-        sums: Dict[str, float] = {}
+        # epoch over weighted batches — metric sums stay ON DEVICE so every
+        # step dispatches asynchronously; one host sync per epoch (a float()
+        # per step would serialize each step on the tunnel RTT)
+        sums: Dict[str, jnp.ndarray] = {}
         n_batches = 0
         n_samples = 0
         for batch_idx in sampler.epoch(epoch):
@@ -240,8 +242,9 @@ def train(
             n_batches += 1
             n_samples += len(batch_idx)
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        last_metrics = {k: v / max(n_batches, 1) for k, v in sums.items()}
+                sums[k] = sums[k] + v if k in sums else v
+        last_metrics = {k: float(v) / max(n_batches, 1)
+                        for k, v in sums.items()}
         epoch_time = time.time() - t0
 
         # cadence: true-AR eval

@@ -157,6 +157,7 @@ def train(
 
     best_exact = 0.0
     best_params = None
+    last_best_saved = 0.0
     last_metrics: Optional[Dict[str, float]] = None
     last_ar_exact = 0.0
     history = []
@@ -331,9 +332,14 @@ def train(
         if (epoch + 1) % tcfg.checkpoint_interval == 0:
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
                             epoch=epoch, metrics=row)
-        if exact >= best_exact and exact > 0:
+        # save 'best' on meaningful improvement only (an Orbax write of the
+        # full params every epoch would dominate short epochs)
+        if exact > 0 and exact >= best_exact and (
+                exact - last_best_saved >= 0.005
+                or (epoch + 1) % tcfg.checkpoint_interval == 0):
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
                             epoch=epoch, metrics=row, tag='best')
+            last_best_saved = exact
         if interrupt['flag']:
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
                             epoch=epoch, metrics=row, tag='interrupt')

@@ -334,8 +334,10 @@ class TcBinTracker:
         self.snapshot = None
 
     def _tc_subtree(self, enc_params):
+        import jax
         root = enc_params['params']
-        return {k: root[k] for k in self.TC_KEYS if k in root}
+        # host copy — device buffers get donated/deleted by later steps
+        return jax.device_get({k: root[k] for k in self.TC_KEYS if k in root})
 
     def update(self, enc_params, combined_r2: float):
         """Returns possibly-restored enc_params."""

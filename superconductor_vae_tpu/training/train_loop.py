@@ -300,13 +300,17 @@ def train(
         # drop detection / rollback
         exact = last_metrics.get('exact_match', 0.0)
         if drop_ctl.check(epoch, exact) and best_params is not None:
-            state = state.replace(enc_params=best_params[0],
-                                  dec_params=best_params[1])
+            state = state.replace(
+                enc_params=jax.device_put(best_params[0]),
+                dec_params=jax.device_put(best_params[1]))
             log_fn(f'[rollback] epoch {epoch}: exact {exact:.3f} collapsed; '
                    f'restored best, lr_scale={drop_ctl.lr_scale}')
         elif exact > best_exact:
             best_exact = exact
-            best_params = (state.enc_params, state.dec_params)
+            # host copies: the live state buffers get DONATED into the next
+            # step and deleted — device references here would dangle
+            best_params = jax.device_get(
+                (state.enc_params, state.dec_params))
 
         row = {
             'epoch': epoch, 'total': last_metrics.get('total', 0.0),

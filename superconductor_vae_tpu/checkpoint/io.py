@@ -40,6 +40,8 @@ def save_checkpoint(root: str | Path, state, mcfg: ModelConfig, tcfg,
                'dec_params': state.dec_params}
     if getattr(state, 'set_params', None) is not None:
         payload['set_params'] = state.set_params
+    if getattr(state, 'pz_params', None) is not None:
+        payload['pz_params'] = state.pz_params
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path / 'state', jax.device_get(payload), force=True)
 

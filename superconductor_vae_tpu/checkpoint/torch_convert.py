@@ -230,8 +230,26 @@ def model_config_from_torch(ckpt: Dict) -> ModelConfig:
     )
 
 
+def convert_physics_z_state(ckpt: Dict) -> Dict:
+    """Learnable Magpie projection from the reference's saved loss-module
+    state (reference: train_v12_clean.py:3542-3544 saves
+    ``physics_z_loss_fn_state_dict`` with ``magpie_loss.projection.*``).
+    Returns {} when the checkpoint predates V12.31."""
+    sd = ckpt.get('physics_z_loss_fn_state_dict') or {}
+    if 'magpie_loss.projection.weight' not in sd:
+        return {}
+    return {
+        'kernel': _t(_to_np(sd['magpie_loss.projection.weight'])),
+        'bias': _to_np(sd['magpie_loss.projection.bias']),
+    }
+
+
 def load_torch_checkpoint(path: str) -> Tuple[Dict, Dict, ModelConfig, Dict]:
-    """.pt file -> (enc_params, dec_params, model_config, metadata)."""
+    """.pt file -> (enc_params, dec_params, model_config, metadata).
+
+    Metadata includes ``pz_params`` (the learnable Magpie projection) when
+    the reference checkpoint carries the physics-Z loss-module state.
+    """
     import torch
     ckpt = torch.load(path, map_location='cpu', weights_only=False)
     cfg = model_config_from_torch(ckpt)
@@ -239,4 +257,7 @@ def load_torch_checkpoint(path: str) -> Tuple[Dict, Dict, ModelConfig, Dict]:
     dec = convert_decoder_state(ckpt['decoder_state_dict'], cfg)
     meta = {k: v for k, v in ckpt.items()
             if not k.endswith('state_dict') and np.isscalar(v)}
+    pz = convert_physics_z_state(ckpt)
+    if pz:
+        meta['pz_params'] = pz
     return enc, dec, cfg, meta

@@ -74,6 +74,14 @@ class TrainConfig:
     physics_z_regression_check_interval: int = 5
     physics_z_weight_floor: float = 0.1
     physics_z_weight: float = 1.0
+    # learnable Magpie->Block-11 projection trained jointly with the encoder
+    # (reference: z_supervision_loss.py:52-76 MagpieEncodingLoss nn.Linear)
+    magpie_proj_learnable: bool = True
+
+    # keep the full dataset in HBM and lax.scan the train step over the
+    # whole epoch (one dispatch per epoch). Single-host only; multi-host
+    # uses the per-batch sharded input path.
+    device_resident_data: bool = True
 
     # smart loss skipping (reference: :614-636)
     loss_skip_enabled: bool = True

@@ -38,7 +38,8 @@ from .schedulers import (
     teacher_forcing_ratio,
 )
 from .train_step import (
-    build_luts, create_train_state, default_dyn, make_train_step,
+    build_luts, create_train_state, default_dyn, make_epoch_runner,
+    make_train_step,
     set_learning_rate,
 )
 
@@ -107,6 +108,31 @@ def train(
                 encoder, decoder, tcfg, tx_enc, tx_dec, luts,
                 rl_enabled=rl_enabled)
         return steps[rl_enabled]
+
+    # device-resident dataset + whole-epoch scan: ONE dispatch per epoch.
+    # The per-step host->device RTT (dominant at batch 128 over the remote
+    # tunnel) disappears; only the [n_batches, B] int32 indices transfer.
+    # Multi-host keeps the per-batch make_array_from_process_local_data path.
+    device_resident = tcfg.device_resident_data and jax.process_count() == 1
+    data_dev = None
+    runners = {}
+    if device_resident:
+        full = ds.batch(np.arange(len(ds)))
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            rep = replicate(mesh)
+            data_dev = {k: jax.device_put(np.asarray(v), rep)
+                        for k, v in full.items()}
+        else:
+            data_dev = {k: jax.device_put(np.asarray(v))
+                        for k, v in full.items()}
+
+    def get_epoch_runner(rl_enabled: bool):
+        if rl_enabled not in runners:
+            runners[rl_enabled] = make_epoch_runner(
+                encoder, decoder, tcfg, tx_enc, tx_dec, luts,
+                rl_enabled=rl_enabled, mesh=mesh)
+        return runners[rl_enabled]
 
     # ---- controllers -------------------------------------------------------
     rl_ctl = RLController(tcfg)
@@ -179,7 +205,8 @@ def train(
             state = state.replace(
                 enc_params=restored['enc_params'],
                 dec_params=restored['dec_params'],
-                set_params=restored.get('set_params', state.set_params))
+                set_params=restored.get('set_params', state.set_params),
+                pz_params=restored.get('pz_params', state.pz_params))
             start_epoch = int(meta.get('epoch', -1)) + 1
             log_fn(f'[resume] {path} -> epoch {start_epoch}')
 
@@ -221,29 +248,36 @@ def train(
         })
         dyn.update({k: jnp.asarray(v) for k, v in skip_m.items()})
 
-        step_fn = get_step(rl_enabled=rl_w > 0)
-
         # epoch over weighted batches — metric sums stay ON DEVICE so every
         # step dispatches asynchronously; one host sync per epoch (a float()
         # per step would serialize each step on the tunnel RTT)
-        sums: Dict[str, jnp.ndarray] = {}
-        n_batches = 0
-        n_samples = 0
-        for batch_idx in sampler.epoch(epoch):
-            if jax.process_count() > 1:
-                # every host draws the same seeded stream; keep our shard
-                from ..data.sampler import shard_batch_indices
-                batch_idx = shard_batch_indices(
-                    batch_idx, jax.process_index(), jax.process_count())
-            batch = ds.batch(batch_idx)
-            batch = (shard_batch(batch, mesh) if mesh is not None
-                     else {k: jnp.asarray(v) for k, v in batch.items()})
+        if device_resident:
+            idx_mat = np.stack(list(sampler.epoch(epoch))).astype(np.int32)
             step_rng, sub = jax.random.split(step_rng)
-            state, metrics = step_fn(state, batch, sub, dyn)
-            n_batches += 1
-            n_samples += len(batch_idx)
-            for k, v in metrics.items():
-                sums[k] = sums[k] + v if k in sums else v
+            state, sums = get_epoch_runner(rl_w > 0)(
+                state, data_dev, idx_mat, sub, dyn)
+            n_batches = idx_mat.shape[0]
+            n_samples = int(idx_mat.size)
+        else:
+            step_fn = get_step(rl_enabled=rl_w > 0)
+            sums: Dict[str, jnp.ndarray] = {}
+            n_batches = 0
+            n_samples = 0
+            for batch_idx in sampler.epoch(epoch):
+                if jax.process_count() > 1:
+                    # every host draws the same seeded stream; keep our shard
+                    from ..data.sampler import shard_batch_indices
+                    batch_idx = shard_batch_indices(
+                        batch_idx, jax.process_index(), jax.process_count())
+                batch = ds.batch(batch_idx)
+                batch = (shard_batch(batch, mesh) if mesh is not None
+                         else {k: jnp.asarray(v) for k, v in batch.items()})
+                step_rng, sub = jax.random.split(step_rng)
+                state, metrics = step_fn(state, batch, sub, dyn)
+                n_batches += 1
+                n_samples += len(batch_idx)
+                for k, v in metrics.items():
+                    sums[k] = sums[k] + v if k in sums else v
         last_metrics = {k: float(v) / max(n_batches, 1)
                         for k, v in sums.items()}
         epoch_time = time.time() - t0

@@ -43,6 +43,8 @@ class TrainState(struct.PyTreeNode):
     dec_opt: Any
     set_params: Any = None     # V16 Hungarian set decoder (parallel path)
     set_opt: Any = None
+    pz_params: Any = None      # learnable Magpie projection in PhysicsZLoss
+    pz_opt: Any = None         # (reference: z_supervision_loss.py:52-76)
 
 
 def build_luts(tokenizer: FractionAwareTokenizer) -> Dict[str, jnp.ndarray]:
@@ -130,12 +132,20 @@ def create_train_state(
         set_params = jax.jit(set_decoder.init)(
             jax.random.fold_in(rng, 2), jnp.zeros((b, mcfg.latent_dim)))
         set_opt = jax.jit(tx_dec.init)(set_params)
+    pz_params = None
+    pz_opt = None
+    if tcfg.use_physics_z and tcfg.magpie_proj_learnable:
+        from ..ops.physics_z_loss import init_magpie_proj
+        pz_params = init_magpie_proj(
+            jax.random.fold_in(rng, 3), mcfg.magpie_dim)
+        pz_opt = tx_enc.init(pz_params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         enc_params=enc_params, dec_params=dec_params,
         enc_opt=jax.jit(tx_enc.init)(enc_params),
         dec_opt=jax.jit(tx_dec.init)(dec_params),
         set_params=set_params, set_opt=set_opt,
+        pz_params=pz_params, pz_opt=pz_opt,
     )
     return encoder, decoder, state, tx_enc, tx_dec
 
@@ -168,7 +178,7 @@ def default_dyn(tcfg: TrainConfig) -> Dict[str, jnp.ndarray]:
     }
 
 
-def make_train_step(
+def _build_step_fn(
     encoder: MaterialsEncoder,
     decoder: FormulaDecoder,
     tcfg: TrainConfig,
@@ -176,15 +186,18 @@ def make_train_step(
     tx_dec: optax.GradientTransformation,
     luts: Dict[str, jnp.ndarray],
     rl_enabled: bool = False,
-    donate: bool = True,
 ):
-    """Returns jitted ``step(state, batch, rng, dyn) -> (state, metrics)``."""
+    """Unjitted ``step(state, batch, rng, dyn) -> (state, metrics)``;
+    jitted directly by ``make_train_step`` and scanned over a whole epoch by
+    ``make_epoch_runner``."""
     lcfg = tcfg.loss
     rlcfg = tcfg.rl
     set_decoder = (make_set_decoder(decoder.cfg, tcfg, decoder.dtype)
                    if tcfg.hungarian_enabled else None)
 
-    def loss_fn(enc_params, dec_params, set_params, batch, rng, dyn):
+    pz_learnable = tcfg.use_physics_z and tcfg.magpie_proj_learnable
+
+    def loss_fn(enc_params, dec_params, set_params, pz_params, batch, rng, dyn):
         drop_rng, rl_rng = jax.random.split(rng)
         enc_out = encoder.apply(
             enc_params, batch['element_indices'], batch['element_fractions'],
@@ -218,7 +231,7 @@ def make_train_step(
         if tcfg.use_physics_z:
             pz = physics_z_loss(
                 enc_out['z'], batch['comp_targets'], batch['magpie'],
-                batch['tc'])['total']
+                batch['tc'], proj_params=pz_params)['total']
 
         total, metrics = multitask_loss(
             lcfg, enc_out, dec_out, batch, luts['type_table'],
@@ -280,18 +293,19 @@ def make_train_step(
 
     def step(state: TrainState, batch, rng, dyn):
         rng = jax.random.fold_in(rng, state.step)
+        argnums = [0, 1]
         if set_decoder is not None:
-            grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
-                                         has_aux=True)
-            (_, metrics), (g_enc, g_dec, g_set) = grad_fn(
-                state.enc_params, state.dec_params, state.set_params,
-                batch, rng, dyn)
-        else:
-            grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1),
-                                         has_aux=True)
-            (_, metrics), (g_enc, g_dec) = grad_fn(
-                state.enc_params, state.dec_params, None, batch, rng, dyn)
-            g_set = None
+            argnums.append(2)
+        if pz_learnable:
+            argnums.append(3)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=tuple(argnums),
+                                     has_aux=True)
+        (_, metrics), grads = grad_fn(
+            state.enc_params, state.dec_params, state.set_params,
+            state.pz_params, batch, rng, dyn)
+        g_enc, g_dec = grads[0], grads[1]
+        g_set = grads[2] if set_decoder is not None else None
+        g_pz = grads[-1] if pz_learnable else None
         upd_e, new_eopt = tx_enc.update(g_enc, state.enc_opt, state.enc_params)
         upd_d, new_dopt = tx_dec.update(g_dec, state.dec_opt, state.dec_params)
         new_state = state.replace(
@@ -306,7 +320,79 @@ def make_train_step(
             new_state = new_state.replace(
                 set_params=optax.apply_updates(state.set_params, upd_s),
                 set_opt=new_sopt)
+        if g_pz is not None:
+            upd_p, new_popt = tx_enc.update(g_pz, state.pz_opt,
+                                            state.pz_params)
+            new_state = new_state.replace(
+                pz_params=optax.apply_updates(state.pz_params, upd_p),
+                pz_opt=new_popt)
         metrics['grad_norm'] = optax.global_norm((g_enc, g_dec))
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(
+    encoder: MaterialsEncoder,
+    decoder: FormulaDecoder,
+    tcfg: TrainConfig,
+    tx_enc: optax.GradientTransformation,
+    tx_dec: optax.GradientTransformation,
+    luts: Dict[str, jnp.ndarray],
+    rl_enabled: bool = False,
+    donate: bool = True,
+):
+    """Returns jitted ``step(state, batch, rng, dyn) -> (state, metrics)``."""
+    step = _build_step_fn(encoder, decoder, tcfg, tx_enc, tx_dec, luts,
+                          rl_enabled=rl_enabled)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_epoch_runner(
+    encoder: MaterialsEncoder,
+    decoder: FormulaDecoder,
+    tcfg: TrainConfig,
+    tx_enc: optax.GradientTransformation,
+    tx_dec: optax.GradientTransformation,
+    luts: Dict[str, jnp.ndarray],
+    rl_enabled: bool = False,
+    mesh=None,
+):
+    """One compiled program per EPOCH instead of per step.
+
+    ``lax.scan``s the train step over a ``[n_batches, B]`` index matrix,
+    gathering each batch on-device from a device-resident dataset dict (the
+    full dataset is tiny next to HBM).  Per epoch, the host transfers only
+    the int32 indices and dispatches ONE program — the per-step host RTT
+    that dominates small-batch training over the remote-TPU tunnel
+    disappears, and steps run back-to-back on device.
+
+    The reference has no analogue (its DataLoader feeds the GPU per batch,
+    train_v12_clean.py:2251-2262); this is the TPU-idiomatic input path for
+    datasets that fit in HBM.
+
+    Returns jitted ``run(state, data, idx_mat, rng, dyn) -> (state, sums)``
+    where ``sums`` holds per-metric SUMS over the epoch's steps (divide by
+    ``n_batches`` on host).  ``data``/``idx_mat`` are arguments, never
+    closed-over constants (remote-compile program-size limits).
+    """
+    step = _build_step_fn(encoder, decoder, tcfg, tx_enc, tx_dec, luts,
+                          rl_enabled=rl_enabled)
+    sharding = None
+    if mesh is not None:
+        from ..parallel.mesh import data_sharding
+        sharding = data_sharding(mesh)
+
+    def run(state: TrainState, data, idx_mat, rng, dyn):
+        def body(carry, idx):
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            if sharding is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, jax.tree.map(lambda _: sharding, batch))
+            new_state, metrics = step(carry, batch, rng, dyn)
+            return new_state, metrics
+
+        state, stacked = jax.lax.scan(body, state, idx_mat)
+        return state, jax.tree.map(lambda m: m.sum(0), stacked)
+
+    return jax.jit(run, donate_argnums=(0,))

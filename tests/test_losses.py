@@ -240,3 +240,46 @@ class TestMultitask:
         # differentiability smoke: loss should be jittable and finite
         total = jax.jit(lambda: self._run()[0])()
         assert np.isfinite(float(total))
+
+
+class TestPhysicsZ:
+    def _inputs(self, b=4, magpie_dim=24):
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.normal(size=(b, 2048)).astype(np.float32))
+        comp = jnp.asarray(rng.normal(size=(b, 15)).astype(np.float32))
+        magpie = jnp.asarray(rng.normal(size=(b, magpie_dim)).astype(np.float32))
+        tc = jnp.asarray(rng.normal(size=(b,)).astype(np.float32))
+        return z, comp, magpie, tc
+
+    def test_fixed_projection_fallback(self):
+        from superconductor_vae_tpu.ops.physics_z_loss import physics_z_loss
+        out = physics_z_loss(*self._inputs())
+        assert set(out) >= {'total', 'comp', 'magpie', 'thermo', 'consistency'}
+        for v in out.values():
+            assert np.isfinite(float(v))
+
+    def test_learnable_projection_trains(self):
+        """Reference parity: MagpieEncodingLoss nn.Linear is trained jointly
+        (z_supervision_loss.py:52-76) — grads must reach kernel AND bias."""
+        from superconductor_vae_tpu.ops.physics_z_loss import (
+            init_magpie_proj, physics_z_loss)
+        z, comp, magpie, tc = self._inputs()
+        proj = init_magpie_proj(jax.random.PRNGKey(0), magpie.shape[1])
+        assert proj['kernel'].shape == (magpie.shape[1], 62)
+        assert proj['bias'].shape == (62,)
+        bound = 1.0 / np.sqrt(magpie.shape[1])
+        assert np.abs(np.asarray(proj['kernel'])).max() <= bound
+
+        def loss(p):
+            return physics_z_loss(z, comp, magpie, tc, proj_params=p)['total']
+
+        g = jax.grad(loss)(proj)
+        assert float(jnp.abs(g['kernel']).sum()) > 0
+        assert float(jnp.abs(g['bias']).sum()) > 0
+        # one SGD step on the projection alone reduces the magpie term
+        before = float(physics_z_loss(z, comp, magpie, tc,
+                                      proj_params=proj)['magpie'])
+        stepped = jax.tree.map(lambda p, gr: p - 0.1 * gr, proj, g)
+        after = float(physics_z_loss(z, comp, magpie, tc,
+                                     proj_params=stepped)['magpie'])
+        assert after < before

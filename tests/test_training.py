@@ -17,10 +17,14 @@ from superconductor_vae_tpu.training.schedulers import (
 
 
 def small_train_config(**kw):
+    # per-batch input path by default: the whole-epoch scan compiles a
+    # separate program per test shape, which dominates suite time on CPU;
+    # test_train_epoch_scan covers the device-resident path explicitly
     cfg = TrainConfig(
         num_epochs=2, batch_size=16, max_formula_len=16,
         eval_interval=1, checkpoint_interval=1000,
-        learning_rate=1e-3, use_physics_z=False)
+        learning_rate=1e-3, use_physics_z=False,
+        device_resident_data=False)
     for k, v in kw.items():
         setattr(cfg, k, v)
     return cfg
@@ -41,6 +45,24 @@ def test_train_smoke(tmp_path):
     # metrics CSV written
     assert (tmp_path / 'training_metrics.csv').exists()
     # loss should decrease at lr=1e-3 on a tiny dataset
+    assert hist[-1]['total'] < hist[0]['total'] * 1.5
+
+
+def test_train_epoch_scan(tmp_path):
+    """Device-resident dataset + whole-epoch lax.scan (the production input
+    path): must produce finite decreasing loss on the mesh, same as the
+    per-batch path."""
+    mcfg = tiny_test_config()
+    ds = synthetic_dataset(n=64, max_len=mcfg.max_len,
+                           magpie_dim=mcfg.magpie_dim)
+    out = train(model_config=mcfg,
+                train_config=small_train_config(device_resident_data=True),
+                dataset=ds, output_dir=tmp_path, use_mesh=True,
+                log_fn=lambda *a: None)
+    hist = out['history']
+    assert len(hist) == 2
+    for row in hist:
+        assert np.isfinite(row['total'])
     assert hist[-1]['total'] < hist[0]['total'] * 1.5
 
 

@@ -22,8 +22,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-FORMULA_COLS = ('formula', 'formula_pretty', 'composition', 'name')
-TC_COLS = ('Tc', 'tc', 'Tc (K)', 'critical_temperature', 'Tc_exp')
+FORMULA_COLS = ('formula', 'formula_pretty', 'composition', 'name',
+                'chemical formula')
+TC_COLS = ('Tc', 'tc', 'Tc (K)', 'critical_temperature', 'Tc_exp',
+           'Tc (of this sample) recommended')
+
+# SuperCon deficiency notation: "O4-Y"/"O3+X" mean O_{4-y}; keep the stated
+# stoichiometry and drop the variable suffix
+_DEFICIENCY_SUFFIX = re.compile(r'([+-][XYZ])+$', re.IGNORECASE)
 
 # high-pressure labeling heuristics (reference: scripts/label_high_pressure.py)
 _HP_HYDRIDE = re.compile(r'^(?=.*H(\d{2,}|[4-9]))')
@@ -46,8 +52,13 @@ def is_high_pressure(formula: str, tc: float) -> int:
 
 def load_source(path: Path):
     import pandas as pd
-    df = (pd.read_csv(path, sep='\t') if path.suffix == '.tsv'
-          else pd.read_csv(path))
+    if path.suffix == '.tsv':
+        # SuperCon-style TSVs carry a column-index line above the header
+        df = pd.read_csv(path, sep='\t', skiprows=0)
+        if not any(c in df.columns for c in FORMULA_COLS + TC_COLS):
+            df = pd.read_csv(path, sep='\t', skiprows=1)
+    else:
+        df = pd.read_csv(path)
     fcol = next((c for c in FORMULA_COLS if c in df.columns), None)
     tcol = next((c for c in TC_COLS if c in df.columns), None)
     if fcol is None:
@@ -57,9 +68,10 @@ def load_source(path: Path):
     out.columns = ['formula'] + (['Tc'] if tcol else [])
     if 'Tc' not in out:
         out['Tc'] = 0.0
-    out['formula'] = out['formula'].astype(str).str.strip()
+    out['formula'] = (out['formula'].astype(str).str.strip()
+                      .str.replace(_DEFICIENCY_SUFFIX, '', regex=True))
     out['Tc'] = np.clip(
-        np.nan_to_num(out['Tc'].astype(float, errors='ignore')), 0, 400)
+        np.nan_to_num(pd.to_numeric(out['Tc'], errors='coerce')), 0, 400)
     out = out[out['formula'].str.len() > 0]
     out['source'] = path.stem
     return out
@@ -74,6 +86,10 @@ def main():
                         'fallback lists)')
     p.add_argument('--min-tc-sc', type=float, default=0.0,
                    help='rows with Tc > this are labeled superconducting')
+    p.add_argument('--featurize', action='store_true',
+                   help='append Magpie-style composition feature columns '
+                        '(chem/featurize.py) so the training pipeline has '
+                        'numeric features without matminer')
     args = p.parse_args()
 
     import pandas as pd
@@ -129,6 +145,14 @@ def main():
             'is_superconductor': 0, 'requires_high_pressure': 0,
             'category': d['category']} for d in neg])
         merged = pd.concat([merged, neg_df], ignore_index=True)
+
+    if args.featurize:
+        from superconductor_vae_tpu.chem import (FEATURE_NAMES,
+                                                 featurize_formulas)
+        feats = featurize_formulas(merged['formula'].tolist())
+        for i, name in enumerate(FEATURE_NAMES):
+            merged[name] = feats[:, i]
+        print(f'  featurized: {feats.shape[1]} columns')
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)

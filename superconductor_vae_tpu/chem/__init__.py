@@ -9,6 +9,13 @@ from .elements import (
     get_oxidation_states,
     primary_oxidation_state_table,
 )
+from .featurize import (
+    FEATURE_NAMES,
+    N_FEATURES,
+    composition_features,
+    featurize_formulas,
+    formula_features,
+)
 from .isotopes import (
     ISOTOPES,
     isotope_feature_matrix,

@@ -45,3 +45,36 @@ def test_isotopes():
     # 18O is heavier than natural O -> Tc suppressed (effect < 1)
     assert estimate_isotope_effect('18O') < 1.0
     assert estimate_isotope_effect('16O') > 0.99
+
+
+class TestFeaturize:
+    def test_formula_features_shape_and_values(self):
+        from superconductor_vae_tpu.chem import (FEATURE_NAMES, N_FEATURES,
+                                                 formula_features)
+        f = formula_features('YBa2Cu3O7')
+        assert f.shape == (N_FEATURES,) == (len(FEATURE_NAMES),)
+        assert np.all(np.isfinite(f))
+        # n_elements coordinate
+        assert f[FEATURE_NAMES.index('n_elements')] == 4
+        # fraction entropy positive for a multi-element compound
+        assert f[FEATURE_NAMES.index('frac_entropy')] > 0
+        # mean electronegativity between min and max
+        en_mean = f[FEATURE_NAMES.index('magpie_electronegativity_mean')]
+        en_min = f[FEATURE_NAMES.index('magpie_electronegativity_min')]
+        en_max = f[FEATURE_NAMES.index('magpie_electronegativity_max')]
+        assert en_min <= en_mean <= en_max
+
+    def test_unknown_composition_returns_zeros(self):
+        from superconductor_vae_tpu.chem import (N_FEATURES,
+                                                 composition_features)
+        f = composition_features({})
+        assert f.shape == (N_FEATURES,)
+        assert np.all(f == 0)
+
+    def test_single_element_zero_deviation(self):
+        from superconductor_vae_tpu.chem import (FEATURE_NAMES,
+                                                 formula_features)
+        f = formula_features('Nb')
+        for name in FEATURE_NAMES:
+            if name.endswith('_avg_dev') or name.endswith('_range'):
+                assert f[FEATURE_NAMES.index(name)] == 0, name

@@ -33,6 +33,9 @@ def main():
     p.add_argument('--tiny', action='store_true',
                    help='tiny model config (CI/smoke)')
     p.add_argument('--rl-weight', type=float, default=None)
+    p.add_argument('--bf16', action='store_true',
+                   help='bfloat16 compute (fp32 params + losses); ~2x MXU '
+                        'throughput on TPU')
     p.add_argument('--resume', default=None,
                    help="'auto' or a checkpoint path")
     p.add_argument('--checkpoint-interval', type=int, default=None)
@@ -56,6 +59,8 @@ def main():
         tcfg.learning_rate = args.lr
     if args.rl_weight is not None:
         tcfg.rl_weight = args.rl_weight
+    if args.bf16:
+        tcfg.compute_dtype = 'bfloat16'
     if args.resume is not None:
         tcfg.resume = args.resume
     if args.checkpoint_interval is not None:

@@ -187,8 +187,13 @@ def generate_with_kv_cache(
         finished = finished | (next_tok == EOS_ID)
         return (next_tok, finished, kc, vc, seen), (next_tok, log_prob, entropy)
 
+    # remat the decode step: SCST/RLOO differentiate through the sampled
+    # rollout's log_probs, and without checkpointing the backward pass
+    # stores every step's full decoder activations (OOMs HBM at batch 128
+    # on the 108M model — 26G > 16G).  Recomputing the step in backward
+    # keeps only the scan carries.  Forward-only generation is unaffected.
     _, (tokens, log_probs, entropies) = jax.lax.scan(
-        body, init, jnp.arange(steps))
+        jax.checkpoint(body), init, jnp.arange(steps))
 
     tokens = tokens.T                   # [B, steps]
     log_probs = log_probs.T

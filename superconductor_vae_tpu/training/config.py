@@ -31,6 +31,10 @@ class TrainConfig:
     checkpoint_interval: int = 50
     eval_interval: int = 4              # true-AR eval cadence
     seed: int = 0
+    # model compute dtype ('float32' | 'bfloat16'). bf16 keeps params fp32
+    # (flax param_dtype) and runs matmuls on the MXU at 2x; losses are
+    # computed in fp32 regardless (outputs cast at the loss boundary)
+    compute_dtype: str = 'float32'
 
     # curriculum (reference: train_v12_clean.py:1317-1339)
     curriculum_phase1_end: int = 30

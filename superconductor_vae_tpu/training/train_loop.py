@@ -92,8 +92,10 @@ def train(
 
     # ---- models / state ----------------------------------------------------
     rng = jax.random.PRNGKey(tcfg.seed)
+    compute_dtype = (jnp.bfloat16 if tcfg.compute_dtype == 'bfloat16'
+                     else jnp.float32)
     encoder, decoder, state, tx_enc, tx_dec = create_train_state(
-        mcfg, tcfg, rng)
+        mcfg, tcfg, rng, dtype=compute_dtype)
     luts = build_luts(tokenizer)
 
     # single-device: skip the mesh entirely — sharding adds nothing and the

@@ -197,6 +197,15 @@ def _build_step_fn(
 
     pz_learnable = tcfg.use_physics_z and tcfg.magpie_proj_learnable
 
+    # bf16 compute: cast model outputs up at the loss boundary so softmax /
+    # log-prob / MSE numerics stay fp32 (standard TPU mixed precision)
+    if encoder.dtype == jnp.float32:
+        _f32 = lambda t: t
+    else:
+        _f32 = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+
     def loss_fn(enc_params, dec_params, set_params, pz_params, batch, rng, dyn):
         drop_rng, rl_rng = jax.random.split(rng)
         enc_out = encoder.apply(
@@ -209,6 +218,8 @@ def _build_step_fn(
         dec_out = decoder.apply(
             dec_params, enc_out['z'], batch['tokens'], stoich, heads_vec,
             deterministic=False, rngs={'dropout': drop_rng})
+        enc_out = _f32(enc_out)
+        dec_out = _f32(dec_out)
 
         rl = None
         reward_mean = None
@@ -272,9 +283,9 @@ def _build_step_fn(
         if set_decoder is not None:
             z_for_set = (jax.lax.stop_gradient(enc_out['z'])
                          if tcfg.hungarian_mode == 'set_only' else enc_out['z'])
-            set_out = set_decoder.apply(
+            set_out = _f32(set_decoder.apply(
                 set_params, z_for_set, deterministic=False,
-                rngs={'dropout': drop_rng})
+                rngs={'dropout': drop_rng}))
             from ..ops.hungarian import hungarian_matching_loss
             h = hungarian_matching_loss(
                 set_out['element_logits'], set_out['fraction_pred'],

@@ -234,9 +234,14 @@ def _build_step_fn(
             )
             if rlcfg.method == 'rloo':
                 kwargs['entropy_weight'] = dyn['entropy_weight']
-            rl, reward_mean, _ = rl_fn(
-                decoder, dec_params, enc_out['z'], stoich, heads_vec,
-                targets, rl_rng, rlcfg, luts, **kwargs)
+            # checkpoint the whole RL term: its rollout residuals then never
+            # coexist with the TF-path activations (peak HBM = max of the
+            # two paths instead of their sum)
+            def _rl_term(dec_params, z, stoich, heads_vec, kw):
+                return rl_fn(decoder, dec_params, z, stoich, heads_vec,
+                             targets, rl_rng, rlcfg, luts, **kw)
+            rl, reward_mean, _ = jax.checkpoint(_rl_term)(
+                dec_params, enc_out['z'], stoich, heads_vec, kwargs)
 
         pz = None
         if tcfg.use_physics_z:

@@ -239,3 +239,51 @@ def test_gradient_accumulation(tmp_path):
     out = train(model_config=mcfg, train_config=cfg, dataset=ds,
                 output_dir=tmp_path, use_mesh=False, log_fn=lambda *a: None)
     assert np.isfinite(out['history'][0]['total'])
+
+
+def test_epoch_runner_matches_per_step_path():
+    """The whole-epoch scan must be numerically equivalent to dispatching
+    the same steps one by one (same rng folding, same batches)."""
+    import jax.numpy as jnp
+    from superconductor_vae_tpu.data import synthetic_dataset
+    from superconductor_vae_tpu.tokenizer import default_tokenizer
+    from superconductor_vae_tpu.training.train_step import (
+        build_luts, create_train_state, default_dyn, make_epoch_runner,
+        make_train_step,
+    )
+
+    mcfg = tiny_test_config()
+    tcfg = small_train_config(use_physics_z=False)
+    ds = synthetic_dataset(n=32, max_len=mcfg.max_len,
+                           magpie_dim=mcfg.magpie_dim)
+    tok = default_tokenizer(max_len=mcfg.max_len)
+    luts = build_luts(tok)
+    rng = jax.random.PRNGKey(3)
+    dyn = default_dyn(tcfg)
+
+    _, _, state_a, tx_e, tx_d = create_train_state(mcfg, tcfg,
+                                                   jax.random.PRNGKey(7))
+    encoder, decoder, state_b, _, _ = create_train_state(
+        mcfg, tcfg, jax.random.PRNGKey(7))
+
+    idx_mat = np.arange(32, dtype=np.int32).reshape(2, 16)
+
+    step = make_train_step(encoder, decoder, tcfg, tx_e, tx_d, luts,
+                           donate=False)
+    for row in idx_mat:
+        batch = {k: jnp.asarray(v) for k, v in ds.batch(row).items()}
+        state_a, _ = step(state_a, batch, rng, dyn)
+
+    runner = make_epoch_runner(encoder, decoder, tcfg, tx_e, tx_d, luts)
+    data = {k: jnp.asarray(v) for k, v in ds.batch(np.arange(32)).items()}
+    state_b, sums = runner(state_b, data, idx_mat, rng, dyn)
+
+    flat_a = jax.tree_util.tree_leaves(state_a.enc_params)
+    flat_b = jax.tree_util.tree_leaves(state_b.enc_params)
+    # scan and per-step programs fuse reductions differently; agreement is
+    # to float32 accumulation noise, not bitwise
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    assert int(state_b.step) == 2
+    assert np.isfinite(float(sums['total']))

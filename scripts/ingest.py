@@ -31,6 +31,30 @@ TC_COLS = ('Tc', 'tc', 'Tc (K)', 'critical_temperature', 'Tc_exp',
 # stoichiometry and drop the variable suffix
 _DEFICIENCY_SUFFIX = re.compile(r'([+-][XYZ])+$', re.IGNORECASE)
 
+
+def to_fraction_notation(formula: str) -> str:
+    """Decimal formula -> the tokenizer's (p/q) fraction notation.
+
+    Mirrors the reference's composition_to_fraction_formula
+    (reference: scripts/ingest_jarvis.py:437-449): elements sorted, amounts
+    via Fraction(amt).limit_denominator(1000), integers bare, fractions as
+    El(p/q).  The processed-CSV formula column must be in this notation —
+    the tokenizer has no decimal branch (decimals would tokenize as UNK).
+    """
+    from fractions import Fraction
+    from superconductor_vae_tpu.data import parse_formula_composition
+    comp = parse_formula_composition(formula)
+    if not comp:
+        return formula
+    parts = []
+    for el, amt in sorted(comp.items()):
+        frac = Fraction(amt).limit_denominator(1000)
+        if frac.denominator == 1:
+            parts.append(el if frac.numerator == 1 else f'{el}{frac.numerator}')
+        else:
+            parts.append(f'{el}({frac})')
+    return ''.join(parts)
+
 # high-pressure labeling heuristics (reference: scripts/label_high_pressure.py)
 _HP_HYDRIDE = re.compile(r'^(?=.*H(\d{2,}|[4-9]))')
 
@@ -110,6 +134,8 @@ def main():
     # drop unparseable formulas + dedup by (formula, Tc rounded)
     merged = merged[merged['formula'].map(
         lambda f: len(parse_formula_composition(f)) > 0)]
+    # canonical (p/q) notation — the tokenizer's input format
+    merged['formula'] = merged['formula'].map(to_fraction_notation)
     merged['tc_key'] = merged['Tc'].round(1)
     merged = merged.drop_duplicates(['formula', 'tc_key']).drop(columns='tc_key')
 

@@ -69,7 +69,7 @@ def category_to_label(category: str, use_extended: bool = True,
 
 _COMP_SCAN = re.compile(
     r'(?:\{(?P<mass>\d+)\})?(?P<el>[A-Z][a-z]?)'
-    r'(?:\((?P<num>\d+)/(?P<den>\d+)\)|(?P<int>\d+))?'
+    r'(?:\((?P<num>\d+)/(?P<den>\d+)\)|(?P<dec>\d*\.\d+)|(?P<int>\d+))?'
 )
 
 
@@ -87,6 +87,10 @@ def parse_formula_composition(formula: str) -> Dict[str, float]:
         if m.group('num') is not None:
             den = int(m.group('den'))
             qty = int(m.group('num')) / den if den else 1.0
+        elif m.group('dec') is not None:
+            # raw-source decimal notation (Ba0.2La1.8...) — the tokenizer
+            # itself never sees decimals; ingestion canonicalizes to (p/q)
+            qty = float(m.group('dec'))
         elif m.group('int') is not None:
             qty = float(int(m.group('int')))
         comp[el] = comp.get(el, 0.0) + qty

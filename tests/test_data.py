@@ -137,3 +137,24 @@ def test_compositional_targets():
     assert t[0, 0] == 4          # n_elements
     assert t[0, 4] == 56         # z_max = Ba
     assert np.isfinite(t).all()
+
+
+def test_ingest_fraction_notation():
+    """Ingested formulas must be in the tokenizer's (p/q) notation
+    (reference: ingest_jarvis.py:437-449) — decimals have no tokenizer
+    branch and would mangle into UNKs."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / 'scripts'))
+    from ingest import to_fraction_notation
+
+    assert to_fraction_notation('Ba0.2La1.8Cu1O4') == 'Ba(1/5)CuLa(9/5)O4'
+    # matches the reference processed-CSV style exactly
+    assert to_fraction_notation('Ba0.6Y0.4Cu1O1') == 'Ba(3/5)CuOY(2/5)'
+    # integers stay bare; amount 1 drops the count
+    assert to_fraction_notation('Cu1O2') == 'CuO2'
+    # round-trips through the tokenizer without UNK
+    from superconductor_vae_tpu.tokenizer import UNK_ID, default_tokenizer
+    tok = default_tokenizer(max_len=40)
+    ids = tok.encode(to_fraction_notation('Ba0.6Y0.4Cu1O1'))
+    assert UNK_ID not in ids

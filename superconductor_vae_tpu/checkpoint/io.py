@@ -30,18 +30,33 @@ def _ckpt_dir(root: Path, epoch: int) -> Path:
 
 def save_checkpoint(root: str | Path, state, mcfg: ModelConfig, tcfg,
                     epoch: int, metrics: Optional[Dict] = None,
-                    tag: Optional[str] = None) -> Path:
+                    tag: Optional[str] = None,
+                    controllers: Optional[Dict] = None,
+                    extra_arrays: Optional[Dict[str, Any]] = None) -> Path:
+    """Full-state checkpoint: params, BOTH optimizer states, step counter,
+    and (via ``controllers``) the host scheduler state machines — the
+    reference saves enc/dec optimizer + scheduler + controller states 'for
+    proper resumption' (reference: train_v12_clean.py:3527-3597).  Optimizer
+    states are stored as flattened leaf lists so restore does not depend on
+    optax namedtuple reconstruction (see ``restore_opt_state``).
+    """
     root = Path(root).resolve()
     root.mkdir(parents=True, exist_ok=True)
     path = root / tag if tag else _ckpt_dir(root, epoch)
 
     payload = {'step': state.step,
                'enc_params': state.enc_params,
-               'dec_params': state.dec_params}
+               'dec_params': state.dec_params,
+               'enc_opt': jax.tree.leaves(state.enc_opt),
+               'dec_opt': jax.tree.leaves(state.dec_opt)}
     if getattr(state, 'set_params', None) is not None:
         payload['set_params'] = state.set_params
+        payload['set_opt'] = jax.tree.leaves(state.set_opt)
     if getattr(state, 'pz_params', None) is not None:
         payload['pz_params'] = state.pz_params
+        payload['pz_opt'] = jax.tree.leaves(state.pz_opt)
+    if extra_arrays:
+        payload.update(extra_arrays)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path / 'state', jax.device_get(payload), force=True)
 
@@ -50,23 +65,42 @@ def save_checkpoint(root: str | Path, state, mcfg: ModelConfig, tcfg,
         'metrics': metrics or {},
         'model_config': dataclasses.asdict(mcfg),
         'manifest': build_manifest(mcfg, tcfg),
+        'controllers': controllers or {},
     }
     (path / 'meta.json').write_text(json.dumps(meta, indent=2, default=str))
     return path
 
 
+def restore_opt_state(template: Any, leaves) -> Any:
+    """Rebuild an optax state pytree from its flattened leaf list using a
+    freshly-initialized state of the same optimizer as the structure."""
+    treedef = jax.tree.structure(template)
+    leaves = [leaves[k] for k in sorted(leaves, key=int)] \
+        if isinstance(leaves, dict) else list(leaves)
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def latest_checkpoint(root: str | Path) -> Optional[Path]:
-    """'auto' resume resolution: prefer tag 'best', else highest epoch
+    """'auto' resume resolution: the checkpoint with the HIGHEST epoch wins
+    (epoch_* dirs and the 'best'/'interrupt' tags all compete) so a crash
+    loop never rewinds to a much older 'best'
     (reference: train_v12_clean.py:1122 _find_best_checkpoint)."""
     root = Path(root)
     if not root.exists():
         return None
-    best = root / 'best'
-    if (best / 'meta.json').exists():
-        return best
-    epochs = sorted(root.glob('epoch_*'),
-                    key=lambda p: int(re.findall(r'\d+', p.name)[-1]))
-    return epochs[-1] if epochs else None
+    candidates = []
+    for p in list(root.glob('epoch_*')) + [root / 'best', root / 'interrupt']:
+        meta = p / 'meta.json'
+        if meta.exists():
+            try:
+                ep = int(json.loads(meta.read_text()).get('epoch', -1))
+            except (ValueError, json.JSONDecodeError):
+                continue
+            # on ties (best saved at the same epoch) prefer the epoch_ dir
+            candidates.append((ep, 1 if p.name.startswith('epoch_') else 0, p))
+    if not candidates:
+        return None
+    return max(candidates, key=lambda t: (t[0], t[1]))[2]
 
 
 def load_checkpoint(path: str | Path) -> Tuple[Dict[str, Any], Dict]:

@@ -200,8 +200,13 @@ def load_dataset(
     exclude_holdout: bool = True,
     cache_dir: Optional[str | Path] = 'outputs/data_cache',
     limit: Optional[int] = None,
+    drop_unk: bool = True,
 ) -> DatasetArrays:
-    """CSV -> DatasetArrays, with a content-hash npz cache."""
+    """CSV -> DatasetArrays, with a content-hash npz cache.
+
+    ``drop_unk`` removes rows whose tokenization contains UNK / FRAC_UNK —
+    such targets are unreachable for the decoder and teach it to emit UNK
+    (the reference builds its corpus UNK-free by construction)."""
     import pandas as pd
 
     csv_path = Path(csv_path)
@@ -213,7 +218,7 @@ def load_dataset(
         h.update(csv_path.read_bytes())
         h.update(f'{max_len}|{skew_threshold}|{sc_only_norm}|'
                  f'{tc_log_transform}|{exclude_holdout}|{limit}|'
-                 f'{tokenizer.vocab_size}'.encode())
+                 f'{tokenizer.vocab_size}|{drop_unk}'.encode())
         cache_file = Path(cache_dir) / f'dataset_{h.hexdigest()[:16]}.npz'
         if cache_file.exists():
             return _load_cache(cache_file)
@@ -307,6 +312,10 @@ def load_dataset(
         holdout = set(load_holdout_formulas())
         if holdout:
             keep = np.array([f not in holdout for f in formulas])
+    if drop_unk:
+        from ..tokenizer import FRAC_UNK_ID, UNK_ID
+        has_unk = ((tokens == UNK_ID) | (tokens == FRAC_UNK_ID)).any(axis=1)
+        keep &= ~has_unk
 
     norm_stats = NormStats(
         tc_mean=tc_mean, tc_std=tc_std, tc_log_transform=tc_log_transform,

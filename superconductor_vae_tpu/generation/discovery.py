@@ -10,7 +10,6 @@ KV-cache rollout; only string validation/ranking is host-side.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -78,47 +77,11 @@ class SuperconductorDiscoveryPipeline:
 
     def _full_heads(self, z: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Inference-mode head assembly from z (no input features)."""
-        enc_params = self.enc_params
-
-        @functools.partial(jax.jit, static_argnums=())
+        @jax.jit
         def run(enc_params, z):
-            # re-run the z-dependent heads exactly as the encoder forward does
-            enc = self.encoder
-            dec_out = enc.apply(enc_params, z,
-                                method=MaterialsEncoder.decode)
-            # fraction/count/hp/competence heads operate on z; reuse forward
-            # by invoking the head modules through a bound apply
-            def heads(mdl):
-                comp = jax.nn.sigmoid(mdl.competence_head(z)[:, 0])
-                frac_out = mdl.fraction_heads(z)
-                hp = mdl.hp_d1(jax.nn.relu(mdl.hp_d0(z)))[:, 0]
-                return comp, frac_out, hp
-            comp, frac_out, hp = enc.apply(enc_params, method=heads)
-            fraction_pred = frac_out[:, :enc.cfg.max_elements]
-            count = frac_out[:, -1]
-            sc_input = jnp.concatenate([
-                z, dec_out['tc_pred'][:, None], dec_out['magpie_pred'],
-                hp[:, None], fraction_pred, count[:, None], comp[:, None],
-                dec_out['tc_class_logits']], axis=-1)
-
-            def sc_fn(m):
-                h_sc = m.sc_ln(jax.nn.gelu(m.sc_d0(sc_input),
-                                           approximate=False))
-                return m.sc_d2(jax.nn.gelu(m.sc_d1(h_sc),
-                                           approximate=False))[:, 0]
-            sc = enc.apply(enc_params, method=sc_fn)
-            fam = enc.apply(
-                enc_params,
-                method=lambda m: m.family_head(dec_out['backbone_h'],
-                                               jax.lax.stop_gradient(sc)))
-            heads_vec = jnp.concatenate([
-                dec_out['tc_pred'][:, None], sc[:, None], hp[:, None],
-                dec_out['tc_class_logits'], comp[:, None], count[:, None],
-                fam['composed_14']], axis=-1)
-            stoich = jnp.concatenate([fraction_pred, count[:, None]], axis=1)
-            return {'heads_vec': heads_vec, 'stoich': stoich,
-                    'tc_pred': dec_out['tc_pred'], 'sc_pred': sc}
-        return run(enc_params, z)
+            return self.encoder.apply(enc_params, z,
+                                      method=MaterialsEncoder.heads_from_z)
+        return run(self.enc_params, z)
 
     def run(self, n_candidates: int = 256, seed: int = 0,
             strategies: tuple = ('clusters', 'gradient', 'interpolation',

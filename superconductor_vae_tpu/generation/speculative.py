@@ -98,11 +98,16 @@ def speculative_generate(
         out = jax.lax.dynamic_update_slice_in_dim(out, emitted, safe_pos,
                                                   axis=1)
 
-        hit_end = ((emitted == EOS_ID) & valid).any(axis=1)
-
         # 4. batch-uniform advance = min over unfinished rows of n_emit
         adv = jnp.min(jnp.where(finished | done, chunk, n_emit))
         adv = jnp.clip(adv, 1, chunk)
+
+        # a row is finished only when EOS lands in the COMMITTED region
+        # (< adv): tokens beyond the batch-min advance are uncommitted and
+        # get re-verified (and re-written) next iteration — marking them
+        # finished would zero the next chunk's write over the EOS itself,
+        # silently truncating the row
+        hit_end = ((emitted == EOS_ID) & valid & (positions < adv)).any(axis=1)
         cat = jnp.concatenate([cur[:, None], emitted], axis=1)     # [B, k+2]
         new_cur = jnp.take(cat, adv, axis=1)                       # [B]
         new_cur = jnp.where(finished, cur, new_cur)

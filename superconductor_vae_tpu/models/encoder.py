@@ -353,6 +353,59 @@ class MaterialsEncoder(nn.Module):
             'family_composed_14': family['composed_14'],
         }
 
+    def heads_from_z(self, z, *, deterministic: bool = True
+                     ) -> Dict[str, jnp.ndarray]:
+        """All encoder heads assembled from z alone (the inference path: no
+        input features exist for a sampled latent).  Reproduces ``__call__``'s
+        head assembly minus ``encode`` — used by the discovery pipeline and
+        by Phase-2 self-supervised losses, where gradients must flow through
+        the head weights (reference: self_supervised.py:1124-1195
+        _compute_consistency_loss re-runs sc_head/fraction_head on z).
+
+        Returns the per-head dict plus the assembled ``heads_vec`` /
+        ``stoich`` conditioning for the decoder.
+        """
+        cfg = self.cfg
+        dec = self.decode(z, deterministic=deterministic)
+        competence = jax.nn.sigmoid(
+            self.competence_head(z, deterministic=deterministic)[:, 0])
+        frac_out = self.fraction_heads(z, deterministic=deterministic)
+        fraction_pred = frac_out[:, :cfg.max_elements]
+        element_count_pred = frac_out[:, -1]
+        hp_pred = self.hp_d1(jax.nn.relu(self.hp_d0(z)))[:, 0]
+        tc_class_logits = dec['tc_class_logits']
+        sc_input = jnp.concatenate([
+            z,
+            dec['tc_pred'][:, None],
+            dec['magpie_pred'],
+            hp_pred[:, None],
+            fraction_pred,
+            element_count_pred[:, None],
+            competence[:, None],
+            tc_class_logits,
+        ], axis=-1)
+        h_sc = self.head_drop(self.sc_ln(_gelu(self.sc_d0(sc_input))),
+                              deterministic=deterministic)
+        sc_pred = self.sc_d2(_gelu(self.sc_d1(h_sc)))[:, 0]
+        family = self.family_head(
+            dec['backbone_h'], jax.lax.stop_gradient(sc_pred),
+            deterministic=deterministic)
+        out = {
+            'tc_pred': dec['tc_pred'],
+            'magpie_pred': dec['magpie_pred'],
+            'tc_class_logits': tc_class_logits,
+            'competence': competence,
+            'fraction_pred': fraction_pred,
+            'element_count_pred': element_count_pred,
+            'hp_pred': hp_pred,
+            'sc_pred': sc_pred,
+            'family_composed_14': family['composed_14'],
+        }
+        out['heads_vec'] = self.heads_pred_for_decoder(out)
+        out['stoich'] = jnp.concatenate(
+            [fraction_pred, element_count_pred[:, None]], axis=1)
+        return out
+
     def heads_pred_for_decoder(self, out: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         """Assemble the 24-dim heads-conditioning vector for decoder memory.
 

@@ -244,10 +244,27 @@ int sc_parse_compositions(const char** formulas, int n, int max_elements,
               i = close + 1;
             }
           }
-        } else if (i < len && s[i] >= '0' && s[i] <= '9') {
-          long long v;
+        } else if (i < len && ((s[i] >= '0' && s[i] <= '9')
+                               || (s[i] == '.' && i + 1 < len
+                                   && s[i + 1] >= '0' && s[i + 1] <= '9'))) {
+          // integer OR raw-source decimal subscript (Ba0.2La1.8), mirroring
+          // the Python parse_formula_composition decimal branch — the
+          // tokenizer itself never sees decimals (ingestion canonicalizes
+          // to (p/q)), but composition parsing of raw CSVs must agree
+          long long v = 0;
           i += scan_uint(s, i, len, &v);
-          amt = static_cast<double>(v);
+          double val = static_cast<double>(v);
+          if (i < len && s[i] == '.' && i + 1 < len
+              && s[i + 1] >= '0' && s[i + 1] <= '9') {
+            ++i;
+            double scale = 0.1;
+            while (i < len && s[i] >= '0' && s[i] <= '9') {
+              val += (s[i] - '0') * scale;
+              scale *= 0.1;
+              ++i;
+            }
+          }
+          amt = val;
         }
         add(zit->second, amt);
         continue;

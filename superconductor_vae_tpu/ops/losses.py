@@ -372,7 +372,7 @@ def multitask_loss(
         + cfg.hp_loss_weight * mult('hp') * hp_loss
         + cfg.sc_loss_weight * mult('sc') * sc_loss
         + cfg.family_loss_weight * mult('family') * family_loss
-        + dyn.get('physz_w', 0.0) * pz
+        + dyn.get('physz_w', 0.0) * mult('physics_z') * pz
     )
 
     # ---- metrics -----------------------------------------------------------

@@ -30,6 +30,11 @@ class TrainConfig:
     max_formula_len: int = 30
     checkpoint_interval: int = 50
     eval_interval: int = 4              # true-AR eval cadence
+    eval_max_batches: int = 4           # eval subset = batch_size * this
+    eval_random_subset: bool = True     # rotate a random eval subsample so
+                                        # mastery/curriculum see the corpus
+    error_report_interval: int = 16     # epochs between error-record JSONL
+                                        # dumps (reference: :4431+)
     seed: int = 0
     # model compute dtype ('float32' | 'bfloat16'). bf16 keeps params fp32
     # (flax param_dtype) and runs matmuls on the MXU at 2x; losses are
@@ -60,6 +65,7 @@ class TrainConfig:
     rl_warmup_start: float = 0.1
     rl_auto_scale: bool = True
     rl_auto_scale_target: float = 0.1
+    rl_auto_scale_ema: float = 0.9      # smoothing after one-shot calibration
     rl_safety_exact_drop: float = 0.02
     rl_safety_check_interval: int = 5
     rl_temperature_start: float = 1.2

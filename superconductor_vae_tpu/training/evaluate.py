@@ -48,7 +48,12 @@ def evaluate_autoregressive(
     batch_size: int = 256,
     max_batches: Optional[int] = None,
     collect_errors: bool = False,
+    sample_indices: Optional[np.ndarray] = None,
 ) -> Dict[str, object]:
+    """``sample_indices``: explicit dataset rows to evaluate (the train loop
+    passes a rotating random subsample so mastery/curriculum feedback covers
+    the whole corpus, not a fixed prefix).  ``sample_indices`` in the result
+    is always the TRUE dataset indices of the evaluated rows."""
     gcfg = GenerationConfig(
         max_len=decoder.cfg.max_len, temperature=0.0,
         stop_boost=tcfg.stop_boost,
@@ -82,7 +87,10 @@ def evaluate_autoregressive(
             'family_composed_14': enc_out['family_composed_14'],
         }
 
-    n = len(ds)
+    if sample_indices is None:
+        sample_indices = np.arange(len(ds))
+    sample_indices = np.asarray(sample_indices, np.int64)
+    n = len(sample_indices)
     nb = -(-n // batch_size)
     if max_batches:
         nb = min(nb, max_batches)
@@ -93,7 +101,7 @@ def evaluate_autoregressive(
     errors: List[dict] = []
 
     for b in range(nb):
-        idx = np.arange(b * batch_size, min((b + 1) * batch_size, n))
+        idx = sample_indices[b * batch_size: min((b + 1) * batch_size, n)]
         pad_n = batch_size - len(idx)
         full_idx = np.concatenate([idx, np.zeros(pad_n, np.int64)]) if pad_n else idx
         batch = {k: jnp.asarray(v) for k, v in ds.batch(full_idx).items()}
@@ -116,6 +124,7 @@ def evaluate_autoregressive(
         if collect_errors and tokenizer is not None:
             for i in np.where(~ar)[0]:
                 errors.append({
+                    'index': int(idx[i]),
                     'formula': ds.formulas[idx[i]],
                     'generated': tokenizer.decode(out['generated'][i]),
                     'tc_kelvin': float(ds.norm_stats.tc_to_kelvin(
@@ -150,7 +159,8 @@ def evaluate_autoregressive(
         'family_coarse_acc': float(np.concatenate(fam_correct).mean()),
         'n_evaluated': int(len(ar_exact)),
         'error_records': errors,
-        # per-sample arrays for the curriculum / mastery controllers
+        # per-sample arrays for the curriculum / mastery controllers —
+        # TRUE dataset indices, not positions within the eval subset
         'per_sample_ar_exact': ar_exact,
-        'sample_indices': np.arange(len(ar_exact)),
+        'sample_indices': sample_indices[:len(ar_exact)],
     }

@@ -123,9 +123,18 @@ class RLController:
                 ramp = (cfg.rl_warmup_start
                         + (1.0 - cfg.rl_warmup_start) * since / cfg.rl_warmup_epochs)
                 w = w * ramp
-        # auto-scale: |w * raw_rl| ~= target
+        # auto-scale: |w * raw_rl| ~= target.  One-shot calibration on the
+        # first observed RL loss after activation (the reference calibrates
+        # once after a probe epoch), then a slow EMA so a single noisy RL
+        # loss cannot yank the weight around.
         if cfg.rl_auto_scale and raw_rl_loss is not None and abs(raw_rl_loss) > 1e-8:
-            self.auto_scale_factor = cfg.rl_auto_scale_target / abs(raw_rl_loss)
+            target = cfg.rl_auto_scale_target / abs(raw_rl_loss)
+            if self.auto_scale_factor is None:
+                self.auto_scale_factor = target
+            else:
+                ema = cfg.rl_auto_scale_ema
+                self.auto_scale_factor = (ema * self.auto_scale_factor
+                                          + (1.0 - ema) * target)
             w = min(w, self.auto_scale_factor)
         # safety guard: halve on TF exact drop
         if epoch % cfg.rl_safety_check_interval == 0:
@@ -140,6 +149,22 @@ class RLController:
         since = (epoch - self.activation_epoch
                  if self.activation_epoch is not None else -1)
         return rl_temperature(since, self.cfg)
+
+    def state_dict(self) -> Dict:
+        return {'active': self.active, 'weight': self.weight,
+                'activation_epoch': self.activation_epoch,
+                'auto_scale_factor': self.auto_scale_factor,
+                'plateau_history': list(self._plateau.history),
+                'last_safety_exact': self._last_safety_exact}
+
+    def load_state_dict(self, s: Dict) -> None:
+        self.active = s['active']
+        self.weight = s['weight']
+        self.activation_epoch = s['activation_epoch']
+        self.auto_scale_factor = s['auto_scale_factor']
+        self._plateau.history = deque(s['plateau_history'],
+                                      maxlen=self._plateau.window)
+        self._last_safety_exact = s['last_safety_exact']
 
 
 class PhysZController:
@@ -195,6 +220,22 @@ class PhysZController:
             self.weight = cfg.physics_z_weight  # full recovery
         return w
 
+    def state_dict(self) -> Dict:
+        return {'active': self.active, 'weight': self.weight,
+                'activation_epoch': self.activation_epoch,
+                'activation_exact': self.activation_exact,
+                'paused': self.paused,
+                'plateau_history': list(self._plateau.history)}
+
+    def load_state_dict(self, s: Dict) -> None:
+        self.active = s['active']
+        self.weight = s['weight']
+        self.activation_epoch = s['activation_epoch']
+        self.activation_exact = s['activation_exact']
+        self.paused = s['paused']
+        self._plateau.history = deque(s['plateau_history'],
+                                      maxlen=self._plateau.window)
+
 
 class LossSkipScheduler:
     """Smart loss skipping: converged losses computed only every N epochs,
@@ -236,6 +277,12 @@ class LossSkipScheduler:
                     self.converged[name] = val
         return out
 
+    def state_dict(self) -> Dict:
+        return {'converged': dict(self.converged)}
+
+    def load_state_dict(self, s: Dict) -> None:
+        self.converged = dict(s['converged'])
+
 
 class DropDetector:
     """Catastrophic-drop rollback: restore best params + halve LR, capped
@@ -263,6 +310,16 @@ class DropDetector:
         else:
             self.prev_exact = max(self.prev_exact or 0.0, exact)
         return triggered
+
+    def state_dict(self) -> Dict:
+        return {'prev_exact': self.prev_exact, 'rollbacks': self.rollbacks,
+                'grace_until': self.grace_until, 'lr_scale': self.lr_scale}
+
+    def load_state_dict(self, s: Dict) -> None:
+        self.prev_exact = s['prev_exact']
+        self.rollbacks = s['rollbacks']
+        self.grace_until = s['grace_until']
+        self.lr_scale = s['lr_scale']
 
 
 class EntropyManager:
@@ -319,6 +376,22 @@ class EntropyManager:
         elif mean_entropy > cfg.entropy_target:
             self.weight = max(self.weight * 0.9, cfg.entropy_weight_min)
         return self.weight
+
+    def state_dict(self) -> Dict:
+        return {'weight': self.weight,
+                'reward_hist': list(self.reward_hist),
+                'entropy_hist': list(self.entropy_hist),
+                'temperature_scale': self.temperature_scale,
+                'cycle': self._cycle}
+
+    def load_state_dict(self, s: Dict) -> None:
+        self.weight = s['weight']
+        self.reward_hist = deque(s['reward_hist'],
+                                 maxlen=self.cfg.entropy_plateau_window)
+        self.entropy_hist = deque(s['entropy_hist'],
+                                  maxlen=self.cfg.entropy_plateau_window)
+        self.temperature_scale = s['temperature_scale']
+        self._cycle = s['cycle']
 
 
 class TcBinTracker:

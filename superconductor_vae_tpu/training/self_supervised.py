@@ -35,7 +35,7 @@ from ..generation.latent import (
 )
 from ..models import MaterialsEncoder, FormulaDecoder
 from ..ops.round_trip import tokens_to_composition
-from ..tokenizer import FractionAwareTokenizer
+from ..tokenizer import BOS_ID, FractionAwareTokenizer
 from ..validation import CandidateValidator, PhysicsValidator
 from .coverage_tracker import CoverageTracker
 
@@ -49,8 +49,25 @@ class Phase2Config:
     slerp_fraction: float = 0.3
     lr_factor: float = 0.1
     grad_clip: float = 0.5
+    # generation split (reference: self_supervised.py:86-88)
+    greedy_fraction: float = 0.5
+    explore_temp_min: float = 0.1
+    explore_temp_max: float = 0.3
+    # loss weights, relative within Phase 2 (reference: :96-99)
+    round_trip_weight: float = 1.0
+    consistency_weight: float = 0.5
+    physics_weight: float = 0.3
+    reinforce_weight: float = 0.5
+    tc_consistency_weight: float = 5.0   # Tc weighted 5x inside loss 1
+    # mode collapse intervention (reference: :101-104)
     diversity_bonus: float = 5.0
     collapse_threshold: float = 0.3
+    collapse_temp_boost: float = 0.5
+    collapse_rt_weight_mult: float = 2.0
+    collapse_duration: int = 2
+    # safety guards (reference: :117-119)
+    exact_drop_threshold: float = 0.02
+    exact_drop_window: int = 4
     coverage_k: int = 64
     max_weight: float = 0.1
     warmup: int = 50
@@ -106,8 +123,13 @@ class SelfSupervisedEpoch:
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             optax.adamw(base_lr * cfg.lr_factor))
-        self._opt_state = None
+        self._enc_opt = None
+        self._dec_opt = None
         self._epoch = 0
+        # mode-collapse intervention + exact-drop safety state
+        self._collapse_remaining = 0
+        self._exact_hist: List[float] = []
+        self._rewarded: set = set(ds.formulas)
 
     # ---- latent sampling ---------------------------------------------------
     def _sigma(self) -> float:
@@ -154,27 +176,70 @@ class SelfSupervisedEpoch:
         return jnp.concatenate(parts, axis=0)
 
     # ---- one phase-2 sub-epoch --------------------------------------------
+    def _safety_weight(self, phase2_weight: float,
+                       current_exact: Optional[float]) -> float:
+        """Exact-drop guard: halve the Phase-2 weight when training exact
+        fell vs the recent window (reference: self_supervised.py:1486-1492)."""
+        if current_exact is None:
+            return phase2_weight
+        self._exact_hist.append(current_exact)
+        w = self.cfg.exact_drop_window
+        if len(self._exact_hist) > w:
+            recent_max = max(self._exact_hist[-w:])
+            if current_exact < recent_max - self.cfg.exact_drop_threshold:
+                return phase2_weight * 0.5
+        return phase2_weight
+
     def run(self, enc_params, dec_params, z_cache: np.ndarray,
             rng: jax.Array, phase2_weight: float = 0.1,
+            current_exact: Optional[float] = None,
             discovery_pipeline=None) -> Dict[str, object]:
-        self._epoch += 1
-        z = self.sample_latents(z_cache, rng)
+        """One Phase-2 sub-epoch: sample z -> generate -> filter -> all four
+        self-supervised losses -> gated low-LR update of encoder AND decoder
+        (reference: self_supervised.py:976-1974 Phase2LossComputer + run).
 
-        # decode all sampled latents in one rollout using z-derived heads
-        if discovery_pipeline is not None:
-            formulas = discovery_pipeline.decode_latents(
-                z, temperature=0.7, rng=jax.random.fold_in(rng, 1))
-        else:
-            gcfg = GenerationConfig(max_len=self.decoder.cfg.max_len,
-                                    temperature=0.7)
-            b = z.shape[0]
-            stoich = jnp.zeros((b, self.decoder.cfg.stoich_input_dim))
-            heads = jnp.zeros((b, self.decoder.cfg.heads_input_dim))
-            gen = generate_with_kv_cache(
-                self.decoder, dec_params, z, stoich, heads,
-                jax.random.fold_in(rng, 1), gcfg)
-            formulas = [self.tokenizer.decode(t)
-                        for t in np.asarray(gen['tokens'])]
+        TPU redesign: greedy + exploratory rollouts are two batched KV-cache
+        scans; the four losses live in ONE jitted value_and_grad whose
+        REINFORCE term recomputes log-probs of the accepted sampled tokens
+        with a differentiable teacher-forced pass (JAX has no stored graph
+        to reuse, unlike the reference's retained autograd tape).
+        """
+        cfg = self.cfg
+        self._epoch += 1
+        weight = self._safety_weight(phase2_weight, current_exact)
+        rt_mult = (cfg.collapse_rt_weight_mult
+                   if self._collapse_remaining > 0 else 1.0)
+        z = self.sample_latents(z_cache, rng)
+        b = z.shape[0]
+        n_greedy = int(b * cfg.greedy_fraction)
+
+        # decoder conditioning from z alone (inference path)
+        heads = jax.jit(lambda ep, zz: self.encoder.apply(
+            ep, zz, method=MaterialsEncoder.heads_from_z))(enc_params, z)
+        stoich, heads_vec = heads['stoich'], heads['heads_vec']
+
+        # exploration temperature; boosted while collapse intervention active
+        host_rng = np.random.default_rng(
+            int(jax.random.randint(jax.random.fold_in(rng, 7), (), 0, 2**30)))
+        temp = cfg.explore_temp_min + (
+            cfg.explore_temp_max - cfg.explore_temp_min) * host_rng.random()
+        if self._collapse_remaining > 0:
+            temp = cfg.collapse_temp_boost
+
+        gcfg_g = GenerationConfig(max_len=self.decoder.cfg.max_len,
+                                  temperature=0.0)
+        gcfg_e = GenerationConfig(max_len=self.decoder.cfg.max_len,
+                                  temperature=float(temp))
+        gen_g = generate_with_kv_cache(
+            self.decoder, dec_params, z[:n_greedy], stoich[:n_greedy],
+            heads_vec[:n_greedy], jax.random.fold_in(rng, 1), gcfg_g)
+        gen_e = generate_with_kv_cache(
+            self.decoder, dec_params, z[n_greedy:], stoich[n_greedy:],
+            heads_vec[n_greedy:], jax.random.fold_in(rng, 2), gcfg_e)
+        tokens_all = np.concatenate([np.asarray(gen_g['tokens']),
+                                     np.asarray(gen_e['tokens'])])
+        is_explore = np.arange(b) >= n_greedy
+        formulas = [self.tokenizer.decode(t) for t in tokens_all]
 
         # filter: parse + chemical + physics validation
         accepted_idx, accepted = [], []
@@ -189,8 +254,15 @@ class SelfSupervisedEpoch:
             accepted_idx.append(i)
             accepted.append(f)
 
-        unique_rate = len(set(formulas)) / max(len(formulas), 1)
-        collapsed = unique_rate < self.cfg.collapse_threshold
+        # degeneracy diagnostics + collapse detection (intervene, don't skip:
+        # reference boosts round-trip weight + temperature for 2 sub-epochs,
+        # self_supervised.py:1609-1616)
+        unique_rate = len(set(accepted)) / max(len(accepted), 1)
+        collapsed = bool(accepted) and unique_rate < cfg.collapse_threshold
+        if collapsed and self._collapse_remaining == 0:
+            self._collapse_remaining = cfg.collapse_duration
+        elif self._collapse_remaining > 0:
+            self._collapse_remaining -= 1
 
         novel = [f for f in set(accepted) if self.tracker.record(
             f, {'epoch': self._epoch})]
@@ -201,42 +273,127 @@ class SelfSupervisedEpoch:
             'n_novel': len(novel),
             'unique_rate': unique_rate,
             'mode_collapsed': collapsed,
+            'collapse_active': self._collapse_remaining > 0,
+            'explore_temp': float(temp),
             'sigma': self._sigma(),
+            'phase2_weight': weight,
             'holdout_hits': len(self.tracker.holdout_hits),
         }
-        if not accepted_idx or collapsed:
-            # mode-collapse intervention: skip the update, coverage decays
-            return {'enc_params': enc_params, 'metrics': metrics,
-                    'accepted': accepted}
+        if not accepted_idx or weight <= 1e-8:
+            return {'enc_params': enc_params, 'dec_params': dec_params,
+                    'metrics': metrics, 'accepted': accepted}
 
-        z_acc = z[jnp.asarray(accepted_idx)]
+        acc = jnp.asarray(accepted_idx)
+        z_acc = z[acc]
         self.coverage.record_visits(np.asarray(z_acc))
 
-        # self-supervised gated low-LR update: round-trip consistency on the
-        # accepted candidates (encoder-side)
-        tokens = jnp.asarray(self.tokenizer.encode_batch(accepted))
-        if self._opt_state is None:
-            self._opt_state = self.tx.init(enc_params)
+        # diversity bonus: first-seen formulas earn extra REINFORCE reward
+        div_bonus = np.zeros(len(accepted), np.float32)
+        for i, f in enumerate(accepted):
+            if f not in self._rewarded:
+                div_bonus[i] = cfg.diversity_bonus
+                self._rewarded.add(f)
+        div_bonus = jnp.asarray(div_bonus)
+        tokens = jnp.asarray(tokens_all[np.asarray(accepted_idx)])
+        explore_w = jnp.asarray(is_explore[np.asarray(accepted_idx)],
+                                jnp.float32)
+        stoich_acc, heads_acc = stoich[acc], heads_vec[acc]
 
-        def loss_fn(ep):
+        if self._enc_opt is None:
+            self._enc_opt = self.tx.init(enc_params)
+            self._dec_opt = self.tx.init(dec_params)
+
+        me = self.encoder.cfg.max_elements
+
+        def loss_fn(ep, dp):
+            tok_mask = (tokens != 0).astype(jnp.float32)
             e_idx, e_frac, e_mask = tokens_to_composition(
-                tokens[:, 1:], (tokens[:, 1:] != 0).astype(jnp.float32),
-                self.luts['token_to_z'], self.luts['token_value_table'],
-                max_elements=self.encoder.cfg.max_elements)
-            dec_heads = self.encoder.apply(ep, z_acc,
-                                           method=MaterialsEncoder.decode)
-            enc2 = self.encoder.apply(
-                ep, e_idx, e_frac, e_mask, dec_heads['magpie_pred'],
-                dec_heads['tc_pred'], method=MaterialsEncoder.encode)
-            z_mse = ((enc2['z'] - z_acc) ** 2).mean()
-            return phase2_weight * z_mse, z_mse
+                tokens, tok_mask, self.luts['token_to_z'],
+                self.luts['token_value_table'], max_elements=me)
 
-        (loss, z_mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            enc_params)
-        updates, self._opt_state = self.tx.update(grads, self._opt_state,
-                                                  enc_params)
-        enc_params = optax.apply_updates(enc_params, updates)
+            # proxies from the ORIGINAL z (no grad, as in the reference)
+            proxies = jax.lax.stop_gradient(self.encoder.apply(
+                ep, z_acc, method=MaterialsEncoder.decode))
+            magpie_proxy, tc_proxy = proxies['magpie_pred'], proxies['tc_pred']
+
+            # loss 1: extended round-trip consistency (encoder grads)
+            enc2 = self.encoder.apply(
+                ep, e_idx, e_frac, e_mask, magpie_proxy, tc_proxy,
+                method=MaterialsEncoder.encode)
+            z_recon = enc2['z']
+            z_mse = ((z_recon - jax.lax.stop_gradient(z_acc)) ** 2).mean()
+            recon_heads = self.encoder.apply(ep, z_recon,
+                                             method=MaterialsEncoder.decode)
+            tc_mse = ((recon_heads['tc_pred'] - tc_proxy) ** 2).mean()
+            loss1 = z_mse + cfg.tc_consistency_weight * tc_mse
+
+            # loss 2: multi-head self-consistency on the sampled z
+            hz = self.encoder.apply(ep, z_acc,
+                                    method=MaterialsEncoder.heads_from_z)
+            should_be_sc = jax.lax.stop_gradient(
+                jax.nn.sigmoid(hz['tc_pred'] * 2.0))
+            sc_bce = optax.sigmoid_binary_cross_entropy(
+                hz['sc_pred'], should_be_sc).mean()
+            bucket_p = jax.nn.softmax(hz['tc_class_logits'], axis=-1)
+            bucket_ent = (-(bucket_p * jnp.log(bucket_p + 1e-8))
+                          .sum(-1).mean())
+            loss2 = 0.5 * (sc_bce + 0.1 * bucket_ent)
+
+            # loss 3: differentiable physics constraints (A3+A6) on the
+            # encoder's fraction head for the re-encoded candidates — the
+            # parsed fractions themselves are constants, so the reference's
+            # requires_grad gate always skipped them (self_supervised.py:
+            # 1198-1226); routing through fraction_pred restores the signal
+            from ..ops.constraints import (charge_balance_loss,
+                                           site_occupancy_loss)
+            frac_pred = hz['fraction_pred']
+            a3 = site_occupancy_loss(e_idx, frac_pred, e_mask,
+                                     hz['family_composed_14'])
+            a6 = charge_balance_loss(e_idx, frac_pred, e_mask)
+            loss3 = 0.5 * (a3 + a6)
+
+            # loss 4: REINFORCE with round-trip cosine reward + diversity
+            # bonus — the only signal reaching the decoder
+            cos = (z_acc * z_recon).sum(-1) / (
+                jnp.linalg.norm(z_acc, axis=-1)
+                * jnp.linalg.norm(z_recon, axis=-1) + 1e-8)
+            reward = jax.lax.stop_gradient(
+                jnp.clip(cos, 0.0, 1.0) + div_bonus)
+            adv = reward - reward.mean()
+            # [BOS] + sampled tokens -> logits [B, T, V] aligned with tokens
+            tf_input = jnp.concatenate(
+                [jnp.full((tokens.shape[0], 1), BOS_ID, tokens.dtype),
+                 tokens], axis=1)
+            dec_out = self.decoder.apply(dp, z_acc, tf_input,
+                                         stoich_acc, heads_acc)
+            logp_all = jax.nn.log_softmax(
+                dec_out['logits'].astype(jnp.float32), axis=-1)
+            logp = jnp.take_along_axis(
+                logp_all, tokens[:, :, None], axis=2)[:, :, 0]
+            seq_logp = (logp * tok_mask).sum(1)
+            loss4 = -(adv * seq_logp * explore_w).mean()
+
+            total = weight * (
+                cfg.round_trip_weight * rt_mult * loss1
+                + cfg.consistency_weight * loss2
+                + cfg.physics_weight * loss3
+                + cfg.reinforce_weight * loss4)
+            return total, {'loss1_round_trip': loss1,
+                           'loss2_consistency': loss2,
+                           'loss3_physics': loss3,
+                           'loss4_reinforce': loss4,
+                           'z_mse': z_mse, 'tc_mse': tc_mse}
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(enc_params, dec_params)
+        upd_e, self._enc_opt = self.tx.update(grads[0], self._enc_opt,
+                                              enc_params)
+        enc_params = optax.apply_updates(enc_params, upd_e)
+        upd_d, self._dec_opt = self.tx.update(grads[1], self._dec_opt,
+                                              dec_params)
+        dec_params = optax.apply_updates(dec_params, upd_d)
         metrics['phase2_loss'] = float(loss)
-        metrics['round_trip_z_mse'] = float(z_mse)
-        return {'enc_params': enc_params, 'metrics': metrics,
-                'accepted': accepted}
+        metrics.update({k: float(v) for k, v in aux.items()})
+        metrics['round_trip_z_mse'] = metrics.pop('z_mse')
+        return {'enc_params': enc_params, 'dec_params': dec_params,
+                'metrics': metrics, 'accepted': accepted}

@@ -192,11 +192,29 @@ def train(
     step_rng = jax.random.PRNGKey(tcfg.seed + 1)
     start_epoch = 0
 
-    # resume: restore params + epoch counter from the best/latest checkpoint
-    # (manifest drift check as in the reference, utils/manifest.py:137)
+    # host-side state machines bundled into every checkpoint so a restart
+    # resumes controllers, not just params (reference saves optimizer +
+    # scheduler + controller states, train_v12_clean.py:3527-3597)
+    def _ctl_state():
+        return {
+            'rl': rl_ctl.state_dict(), 'physz': pz_ctl.state_dict(),
+            'skip': skip_ctl.state_dict(), 'drop': drop_ctl.state_dict(),
+            'entropy': ent_mgr.state_dict(),
+            'curriculum': curriculum.state_dict() if curriculum else None,
+            'best_exact': best_exact, 'last_best_saved': last_best_saved,
+            'last_ar_exact': last_ar_exact,
+        }
+
+    def _mastery_arrays():
+        return {'mastery': {'mastery': mastery.mastery,
+                            'seen': mastery.seen, 'peak': mastery.peak}}
+
+    # resume: restore params + optimizer states + step + controller state
+    # from the newest checkpoint (manifest drift check as in the reference,
+    # utils/manifest.py:137)
     if tcfg.resume:
         from ..checkpoint import (check_manifest_drift, latest_checkpoint,
-                                  load_checkpoint)
+                                  load_checkpoint, restore_opt_state)
         path = (latest_checkpoint(out_dir / 'checkpoints')
                 if tcfg.resume == 'auto' else Path(tcfg.resume))
         if path is not None and (Path(path) / 'meta.json').exists():
@@ -209,8 +227,32 @@ def train(
                 dec_params=restored['dec_params'],
                 set_params=restored.get('set_params', state.set_params),
                 pz_params=restored.get('pz_params', state.pz_params))
+            if 'step' in restored:
+                state = state.replace(
+                    step=jnp.asarray(restored['step'], jnp.int32))
+            for name in ('enc_opt', 'dec_opt', 'set_opt', 'pz_opt'):
+                if name in restored and getattr(state, name) is not None:
+                    state = state.replace(**{name: restore_opt_state(
+                        getattr(state, name), restored[name])})
+            ctl = meta.get('controllers') or {}
+            for obj, key in ((rl_ctl, 'rl'), (pz_ctl, 'physz'),
+                             (skip_ctl, 'skip'), (drop_ctl, 'drop'),
+                             (ent_mgr, 'entropy')):
+                if ctl.get(key):
+                    obj.load_state_dict(ctl[key])
+            if curriculum is not None and ctl.get('curriculum'):
+                curriculum.load_state_dict(ctl['curriculum'])
+            best_exact = float(ctl.get('best_exact', 0.0))
+            last_best_saved = float(ctl.get('last_best_saved', 0.0))
+            last_ar_exact = float(ctl.get('last_ar_exact', 0.0))
+            m = restored.get('mastery')
+            if m is not None and len(m['mastery']) == len(ds):
+                mastery.mastery = np.asarray(m['mastery'])
+                mastery.seen = np.asarray(m['seen'], bool)
+                mastery.peak = np.asarray(m['peak'])
             start_epoch = int(meta.get('epoch', -1)) + 1
-            log_fn(f'[resume] {path} -> epoch {start_epoch}')
+            log_fn(f'[resume] {path} -> epoch {start_epoch} '
+                   f'(opt={"enc_opt" in restored} ctl={bool(ctl)})')
 
     csv_path_out = out_dir / 'training_metrics.csv'
     csv_fields = ['epoch', 'total', 'formula_loss', 'tc_loss', 'exact_match',
@@ -284,14 +326,32 @@ def train(
                         for k, v in sums.items()}
         epoch_time = time.time() - t0
 
-        # cadence: true-AR eval
+        # cadence: true-AR eval on a ROTATING random subsample (a fixed
+        # prefix would starve mastery/curriculum of feedback on the rest of
+        # the corpus) with per-eval error records on their own cadence
         eval_out = None
         if (epoch + 1) % tcfg.eval_interval == 0 or epoch == tcfg.num_epochs - 1:
+            n_eval = min(len(ds), batch_size * tcfg.eval_max_batches)
+            if tcfg.eval_random_subset and n_eval < len(ds):
+                eval_idx = np.random.default_rng(
+                    tcfg.seed * 100003 + epoch).choice(
+                        len(ds), size=n_eval, replace=False)
+            else:
+                eval_idx = np.arange(n_eval)
+            collect = ((epoch + 1) % tcfg.error_report_interval == 0
+                       or epoch == tcfg.num_epochs - 1)
             eval_out = evaluate_autoregressive(
                 encoder, decoder, state.enc_params, state.dec_params, ds,
                 tcfg, luts, tokenizer=tokenizer,
-                batch_size=batch_size, max_batches=4)
+                batch_size=batch_size, max_batches=tcfg.eval_max_batches,
+                sample_indices=eval_idx, collect_errors=collect)
             last_ar_exact = eval_out['ar_exact']
+            if collect and eval_out['error_records']:
+                err_dir = out_dir / 'error_reports'
+                err_dir.mkdir(exist_ok=True)
+                with open(err_dir / f'epoch_{epoch:05d}.jsonl', 'w') as f:
+                    for rec in eval_out['error_records']:
+                        f.write(json.dumps({'epoch': epoch, **rec}) + '\n')
             # Tc-bin tracker acts on high-Tc bins
             bins = eval_out['tc_r2_per_bin']
             high = [v for k, v in bins.items()
@@ -300,13 +360,16 @@ def train(
                 new_enc = tc_tracker.update(state.enc_params, float(np.mean(high)))
                 if new_enc is not state.enc_params:
                     state = state.replace(enc_params=new_enc)
-            # mastery + curriculum controllers consume per-sample AR exact
+            # mastery + curriculum controllers consume per-sample AR exact;
+            # both fold multiplicatively into the base sampling weights
             idx = eval_out['sample_indices']
             per = eval_out['per_sample_ar_exact'].astype(np.float64)
             mastery.update(idx, per)
+            w_combined = weights * mastery.weights()
             if curriculum is not None:
                 curriculum.report_ar_exact(per, idx)
-                sampler.set_weights(weights * curriculum.get_sample_weights())
+                w_combined = w_combined * curriculum.get_sample_weights()
+            sampler.set_weights(w_combined)
 
             # phase-2 self-supervised sub-epoch (gated on TF exact)
             if (phase2 is not None
@@ -318,8 +381,10 @@ def train(
                     1.0, (epoch + 1) / max(tcfg.phase2_warmup, 1))
                 step_rng, p2_rng = jax.random.split(step_rng)
                 p2 = phase2.run(state.enc_params, state.dec_params,
-                                cache.z, p2_rng, phase2_weight=p2_w)
-                state = state.replace(enc_params=p2['enc_params'])
+                                cache.z, p2_rng, phase2_weight=p2_w,
+                                current_exact=tf_exact)
+                state = state.replace(enc_params=p2['enc_params'],
+                                      dec_params=p2['dec_params'])
                 log_fn(f"[phase2] {p2['metrics']}")
 
             # z-cache dump + topology telemetry on checkpoint cadence
@@ -371,18 +436,24 @@ def train(
         from ..checkpoint import save_checkpoint
         if (epoch + 1) % tcfg.checkpoint_interval == 0:
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
-                            epoch=epoch, metrics=row)
+                            epoch=epoch, metrics=row,
+                            controllers=_ctl_state(),
+                            extra_arrays=_mastery_arrays())
         # save 'best' on meaningful improvement only (an Orbax write of the
         # full params every epoch would dominate short epochs)
         if exact > 0 and exact >= best_exact and (
                 exact - last_best_saved >= 0.005
                 or (epoch + 1) % tcfg.checkpoint_interval == 0):
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
-                            epoch=epoch, metrics=row, tag='best')
+                            epoch=epoch, metrics=row, tag='best',
+                            controllers=_ctl_state(),
+                            extra_arrays=_mastery_arrays())
             last_best_saved = exact
         if interrupt['flag']:
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
-                            epoch=epoch, metrics=row, tag='interrupt')
+                            epoch=epoch, metrics=row, tag='interrupt',
+                            controllers=_ctl_state(),
+                            extra_arrays=_mastery_arrays())
             log_fn(f'[interrupt] saved checkpoint at epoch {epoch}; stopping')
             break
 

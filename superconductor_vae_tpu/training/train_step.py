@@ -174,7 +174,7 @@ def default_dyn(tcfg: TrainConfig) -> Dict[str, jnp.ndarray]:
         'm_magpie': jnp.asarray(1.0), 'm_tc_class': jnp.asarray(1.0),
         'm_hp': jnp.asarray(1.0), 'm_sc': jnp.asarray(1.0),
         'm_stop': jnp.asarray(1.0), 'm_site_dup': jnp.asarray(1.0),
-        'm_family': jnp.asarray(1.0),
+        'm_family': jnp.asarray(1.0), 'm_physics_z': jnp.asarray(1.0),
     }
 
 

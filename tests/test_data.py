@@ -89,6 +89,17 @@ def test_real_csv_loading(tmp_path):
     assert ds2.norm_stats.tc_std == pytest.approx(ds.norm_stats.tc_std)
 
 
+def test_drop_unk_rows(tmp_path):
+    """Rows tokenizing to UNK are unreachable decoder targets; default-on
+    filtering removes them (the reference corpus is UNK-free by build)."""
+    from superconductor_vae_tpu.tokenizer import FRAC_UNK_ID, UNK_ID
+    ds = load_dataset(REAL_CSV, max_len=30, cache_dir=None, limit=300)
+    assert not ((ds.tokens == UNK_ID) | (ds.tokens == FRAC_UNK_ID)).any()
+    ds_all = load_dataset(REAL_CSV, max_len=30, cache_dir=None, limit=300,
+                          drop_unk=False)
+    assert len(ds_all) >= len(ds)
+
+
 def test_holdout_exclusion(tmp_path):
     from superconductor_vae_tpu.data.pipeline import load_holdout_formulas
     holdout = load_holdout_formulas()

@@ -64,6 +64,27 @@ def test_parse_parity_real_data(formulas, tok):
             assert abs(frac[i, j] - fr) < 1e-6, (f, j)
 
 
+def test_parse_parity_decimal_formulas(tok):
+    """Raw-source decimal subscripts (Ba0.2La1.8CuO4) must parse identically
+    in C++ and Python — the native path is preferred by load_dataset, so a
+    divergence silently corrupts element_fractions."""
+    cases = ['Ba0.2La1.8CuO4', 'La1.85Sr0.15CuO4', 'Y0.6Ca0.4Ba2Cu3O7',
+             'Mg0.5B2', 'Fe1.01Se0.99', 'Nb3Sn', 'H.5O', 'C0.125Mo6Se8']
+    out = native.parse_compositions(cases, tok)
+    assert out is not None
+    idx, frac, mask = out
+    for i, f in enumerate(cases):
+        comp = parse_formula_composition(f)
+        total = sum(comp.values()) or 1.0
+        expect = [(SYMBOL_TO_Z[el], amt / total)
+                  for el, amt in list(comp.items())[:12]]
+        n = int(mask[i].sum())
+        assert n == len(expect), f
+        for j, (z, fr) in enumerate(expect):
+            assert idx[i, j] == z, (f, j)
+            assert abs(frac[i, j] - fr) < 1e-6, (f, j, frac[i, j], fr)
+
+
 def test_native_speed(formulas, tok):
     """Native encode should beat Python by a wide margin."""
     n_rep = 10

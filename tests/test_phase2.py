@@ -121,3 +121,107 @@ def test_phase2_epoch():
     assert 'n_novel' in m
     # params returned either updated or unchanged, always a valid pytree
     assert jax.tree.structure(out['enc_params']) == jax.tree.structure(eparams)
+
+
+def test_phase2_four_losses_update_both_models():
+    """With permissive validators the update path runs: all four reference
+    losses are reported and BOTH encoder and decoder params move
+    (reference: self_supervised.py:976-1050 Phase2LossComputer)."""
+    cfg = tiny_test_config()
+    ds = synthetic_dataset(n=48, max_len=cfg.max_len, magpie_dim=cfg.magpie_dim)
+    tok = default_tokenizer(max_len=cfg.max_len)
+    rng = jax.random.PRNGKey(0)
+    enc = MaterialsEncoder(cfg)
+    eparams = enc.init(rng, jnp.asarray(ds.element_indices[:2]),
+                       jnp.asarray(ds.element_fractions[:2]),
+                       jnp.asarray(ds.element_mask[:2]),
+                       jnp.asarray(ds.magpie[:2]), jnp.asarray(ds.tc[:2]))
+    dec = FormulaDecoder(cfg)
+    dparams = dec.init(rng, jnp.zeros((2, cfg.latent_dim)),
+                       jnp.asarray(ds.tokens[:2]),
+                       jnp.zeros((2, cfg.stoich_input_dim)),
+                       jnp.zeros((2, cfg.heads_input_dim)))
+    luts = build_luts(tok)
+    p2 = SelfSupervisedEpoch(enc, dec, tok, ds, luts,
+                             cfg=Phase2Config(n_samples=16, coverage_k=4))
+
+    class _Accept:
+        def validate(self, f):
+            class R:
+                is_valid = True
+                score = 1.0
+                is_plausible = True
+            return R()
+    p2.validator = _Accept()
+    p2.physics = _Accept()
+
+    z_cache = np.random.default_rng(0).normal(size=(48, cfg.latent_dim)) \
+        .astype(np.float32)
+    out = p2.run(eparams, dparams, z_cache, jax.random.PRNGKey(1),
+                 phase2_weight=0.1, current_exact=0.9)
+    m = out['metrics']
+    if m['n_accepted'] == 0:
+        pytest.skip('tiny model emitted only empty strings')
+    for k in ('loss1_round_trip', 'loss2_consistency', 'loss3_physics',
+              'loss4_reinforce'):
+        assert np.isfinite(m[k]), k
+    # both models updated
+    diff_e = sum(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in zip(jax.tree.leaves(out['enc_params']),
+                                 jax.tree.leaves(eparams)))
+    diff_d = sum(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in zip(jax.tree.leaves(out['dec_params']),
+                                 jax.tree.leaves(dparams)))
+    assert diff_e > 0
+    assert diff_d > 0
+
+
+def test_phase2_collapse_intervention():
+    """Mode collapse triggers the temperature/round-trip intervention for
+    collapse_duration sub-epochs instead of skipping updates
+    (reference: self_supervised.py:1494-1500, 1609-1616)."""
+    cfg = tiny_test_config()
+    ds = synthetic_dataset(n=48, max_len=cfg.max_len, magpie_dim=cfg.magpie_dim)
+    tok = default_tokenizer(max_len=cfg.max_len)
+    rng = jax.random.PRNGKey(0)
+    enc = MaterialsEncoder(cfg)
+    eparams = enc.init(rng, jnp.asarray(ds.element_indices[:2]),
+                       jnp.asarray(ds.element_fractions[:2]),
+                       jnp.asarray(ds.element_mask[:2]),
+                       jnp.asarray(ds.magpie[:2]), jnp.asarray(ds.tc[:2]))
+    dec = FormulaDecoder(cfg)
+    dparams = dec.init(rng, jnp.zeros((2, cfg.latent_dim)),
+                       jnp.asarray(ds.tokens[:2]),
+                       jnp.zeros((2, cfg.stoich_input_dim)),
+                       jnp.zeros((2, cfg.heads_input_dim)))
+    luts = build_luts(tok)
+    p2 = SelfSupervisedEpoch(enc, dec, tok, ds, luts,
+                             cfg=Phase2Config(n_samples=16, coverage_k=4))
+
+    class _Accept:
+        def validate(self, f):
+            class R:
+                is_valid = True
+                score = 1.0
+                is_plausible = True
+            return R()
+    p2.validator = _Accept()
+    p2.physics = _Accept()
+
+    z_cache = np.random.default_rng(0).normal(size=(48, cfg.latent_dim)) \
+        .astype(np.float32)
+    # an untrained tiny model decodes near-identical formulas -> collapse
+    out = p2.run(eparams, dparams, z_cache, jax.random.PRNGKey(1),
+                 phase2_weight=0.1)
+    m = out['metrics']
+    if m['n_accepted'] == 0:
+        pytest.skip('tiny model emitted only empty strings')
+    if m['mode_collapsed']:
+        # next sub-epoch runs with the boosted exploration temperature
+        out2 = p2.run(out['enc_params'], out['dec_params'], z_cache,
+                      jax.random.PRNGKey(2), phase2_weight=0.1)
+        assert out2['metrics']['explore_temp'] == pytest.approx(
+            p2.cfg.collapse_temp_boost)
+    # exact-drop safety halves the weight
+    p2._exact_hist = [0.9, 0.9, 0.9, 0.9]
+    assert p2._safety_weight(0.1, 0.5) == pytest.approx(0.05)

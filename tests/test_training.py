@@ -229,6 +229,65 @@ def test_resume_from_checkpoint(tmp_path):
     assert out2['history'][0]['epoch'] == 2
 
 
+def test_resume_restores_optimizer_and_controllers(tmp_path):
+    """Full-state resumption: Adam moments, injected LR, step counter, and
+    controller state survive a restart (reference saves optimizer +
+    scheduler + controller states, train_v12_clean.py:3527-3597)."""
+    from superconductor_vae_tpu.checkpoint import (
+        load_checkpoint, latest_checkpoint, restore_opt_state)
+    from superconductor_vae_tpu.models.config import tiny_test_config
+    from superconductor_vae_tpu.training.train_step import create_train_state
+
+    mcfg = tiny_test_config()
+    ds = synthetic_dataset(n=32, max_len=mcfg.max_len,
+                           magpie_dim=mcfg.magpie_dim)
+    cfg = small_train_config(num_epochs=2)
+    cfg.checkpoint_interval = 1
+    out = train(model_config=mcfg, train_config=cfg, dataset=ds,
+                output_dir=tmp_path, use_mesh=False, log_fn=lambda *a: None)
+    path = latest_checkpoint(tmp_path / 'checkpoints')
+    restored, meta = load_checkpoint(path)
+    # optimizer states and controller dicts are in the payload
+    assert 'enc_opt' in restored and 'dec_opt' in restored
+    assert int(np.asarray(restored['step'])) > 0
+    assert 'drop' in meta['controllers'] and 'rl' in meta['controllers']
+    # opt state leaves rebuild into the exact optax structure, with the
+    # second-epoch cosine LR (not the fresh-init LR)
+    _, _, fresh, _, _ = create_train_state(mcfg, cfg, jax.random.PRNGKey(0))
+    eo = restore_opt_state(fresh.enc_opt, restored['enc_opt'])
+    assert jax.tree.structure(eo) == jax.tree.structure(fresh.enc_opt)
+    inner = getattr(eo, 'inner_opt_state', eo)
+    assert float(inner[1].hyperparams['learning_rate']) > 0
+    # Adam moments are non-zero after real updates
+    mu_leaves = jax.tree.leaves(inner[1].inner_state[0].mu)
+    assert any(float(np.abs(np.asarray(m)).max()) > 0 for m in mu_leaves)
+
+    # resuming continues from the checkpointed epoch with restored state
+    cfg2 = small_train_config(num_epochs=3)
+    cfg2.checkpoint_interval = 1
+    cfg2.resume = 'auto'
+    logs = []
+    out2 = train(model_config=mcfg, train_config=cfg2, dataset=ds,
+                 output_dir=tmp_path, use_mesh=False, log_fn=logs.append)
+    assert any('opt=True' in str(l) for l in logs)
+    assert out2['history'][0]['epoch'] == 2
+
+
+def test_latest_checkpoint_prefers_highest_epoch(tmp_path):
+    """A crash loop must not rewind to a much older 'best' tag."""
+    from superconductor_vae_tpu.checkpoint import (
+        save_checkpoint, latest_checkpoint)
+    from superconductor_vae_tpu.training.train_step import create_train_state
+    mcfg = tiny_test_config()
+    tcfg = small_train_config()
+    _, _, state, _, _ = create_train_state(mcfg, tcfg, jax.random.PRNGKey(0))
+    save_checkpoint(tmp_path, state, mcfg, tcfg, epoch=5, tag='best')
+    save_checkpoint(tmp_path, state, mcfg, tcfg, epoch=12)
+    assert latest_checkpoint(tmp_path).name == 'epoch_00012'
+    save_checkpoint(tmp_path, state, mcfg, tcfg, epoch=20, tag='interrupt')
+    assert latest_checkpoint(tmp_path).name == 'interrupt'
+
+
 def test_gradient_accumulation(tmp_path):
     from superconductor_vae_tpu.models.config import tiny_test_config
     mcfg = tiny_test_config()

@@ -32,7 +32,8 @@ def save_checkpoint(root: str | Path, state, mcfg: ModelConfig, tcfg,
                     epoch: int, metrics: Optional[Dict] = None,
                     tag: Optional[str] = None,
                     controllers: Optional[Dict] = None,
-                    extra_arrays: Optional[Dict[str, Any]] = None) -> Path:
+                    extra_arrays: Optional[Dict[str, Any]] = None,
+                    include_opt: bool = True) -> Path:
     """Full-state checkpoint: params, BOTH optimizer states, step counter,
     and (via ``controllers``) the host scheduler state machines — the
     reference saves enc/dec optimizer + scheduler + controller states 'for
@@ -46,15 +47,21 @@ def save_checkpoint(root: str | Path, state, mcfg: ModelConfig, tcfg,
 
     payload = {'step': state.step,
                'enc_params': state.enc_params,
-               'dec_params': state.dec_params,
-               'enc_opt': jax.tree.leaves(state.enc_opt),
-               'dec_opt': jax.tree.leaves(state.dec_opt)}
+               'dec_params': state.dec_params}
+    if include_opt:
+        # optimizer states triple the payload; 'best' saves (model selection,
+        # not resume points) skip them — resume prefers the newest full-state
+        # epoch_/interrupt checkpoint anyway (latest_checkpoint)
+        payload['enc_opt'] = jax.tree.leaves(state.enc_opt)
+        payload['dec_opt'] = jax.tree.leaves(state.dec_opt)
     if getattr(state, 'set_params', None) is not None:
         payload['set_params'] = state.set_params
-        payload['set_opt'] = jax.tree.leaves(state.set_opt)
+        if include_opt:
+            payload['set_opt'] = jax.tree.leaves(state.set_opt)
     if getattr(state, 'pz_params', None) is not None:
         payload['pz_params'] = state.pz_params
-        payload['pz_opt'] = jax.tree.leaves(state.pz_opt)
+        if include_opt:
+            payload['pz_opt'] = jax.tree.leaves(state.pz_opt)
     if extra_arrays:
         payload.update(extra_arrays)
     with ocp.PyTreeCheckpointer() as ckptr:

@@ -26,10 +26,19 @@ BLOCKS: Dict[str, Tuple[int, int]] = {
 }
 
 # named scalar coordinates used by losses / analysis
+# (indices mirror the reference map, physics_z.py:24-180)
 KAPPA, XI, LAMBDA_L, DELTA0, HC, HC1, HC2 = 0, 1, 2, 3, 4, 5, 6
+ALPHA_GL, BETA_GL, E_COND, SIGMA_NS = 7, 8, 9, 10
+V_F = 20
 THETA_D, GAP_RATIO = 27, 29
+L_MFP = 35
+LATTICE_A, LATTICE_B, LATTICE_C, VOLUME = 113, 114, 115, 119
+PLASMA_FREQ, DRUDE_WEIGHT = 164, 165
 TC = 210
+TC_ONSET, TC_MIDPOINT, TC_ZERO = 211, 212, 213
 DELTA_TC = 214
+E_VORTEX, E_DOMAIN, E_DEFECT_MIN, TYPE_I_II = 340, 341, 343, 344
+TC_THETA_D, XI_L = 400, 403
 
 # Block 8 compositional coordinates, aligned with
 # data/compositional_targets.py COMP_TARGET_NAMES order.

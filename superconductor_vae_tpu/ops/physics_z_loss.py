@@ -70,6 +70,107 @@ def init_magpie_proj(rng, magpie_dim: int, out_dim: int = 62) -> Dict[str, jnp.n
     }
 
 
+def _huber(pred: jnp.ndarray, target: jnp.ndarray,
+           delta: float = 1.0) -> jnp.ndarray:
+    """SmoothL1 (the reference uses nn.SmoothL1Loss throughout for
+    robustness to large initial deviations)."""
+    d = pred - target
+    a = jnp.abs(d)
+    return jnp.where(a < delta, 0.5 * d * d / delta, a - 0.5 * delta).mean()
+
+
+def _c(x: jnp.ndarray, lo: float = -100.0, hi: float = 100.0) -> jnp.ndarray:
+    """Clamp derived targets: prevents gradient explosions while Z coords
+    are still randomly distributed (reference: z_supervision_loss.py:92-95)."""
+    return jnp.clip(x, lo, hi)
+
+
+def gl_consistency(z: jnp.ndarray) -> jnp.ndarray:
+    """Ginzburg-Landau identities (reference: z_supervision_loss.py:78-131):
+    kappa=lam/xi, Hc~1/(lam*xi), Hc2~1/xi^2, E_cond~Hc^2,
+    Hc1~ln(kappa)/lam^2."""
+    xi = jnp.clip(z[:, PZ.XI], 0.01)
+    lam = jnp.clip(z[:, PZ.LAMBDA_L], 0.01)
+    kappa = z[:, PZ.KAPPA]
+    hc = z[:, PZ.HC]
+    loss = _huber(kappa, _c(lam / xi))
+    loss += _huber(hc, _c(1.0 / (lam * xi)))
+    loss += _huber(z[:, PZ.HC2], _c(1.0 / xi ** 2))
+    loss += _huber(z[:, PZ.E_COND],
+                   _c(jax.lax.stop_gradient(hc) ** 2))
+    loss += _huber(z[:, PZ.HC1],
+                   _c(jnp.log(jnp.clip(kappa, 1.01)) / lam ** 2))
+    return loss
+
+
+def bcs_consistency(z: jnp.ndarray) -> jnp.ndarray:
+    """BCS identities (reference: :134-161): xi~v_F/Delta0, gap ratio
+    soft-bounded to [1, 5]."""
+    vf = jnp.clip(z[:, PZ.V_F], 0.01)
+    d0 = jnp.clip(z[:, PZ.DELTA0], 0.01)
+    gap = z[:, PZ.GAP_RATIO]
+    loss = _huber(z[:, PZ.XI], _c(vf / d0))
+    loss += jnp.clip(gap - 5.0, 0.0).mean() + jnp.clip(1.0 - gap, 0.0).mean()
+    return loss
+
+
+def cobordism_consistency(z: jnp.ndarray) -> jnp.ndarray:
+    """Block 9 defect energies from GL parameters (reference: :163-205):
+    E_vortex~ln(kappa)/lam^2, E_domain=sigma_ns, type=kappa-1/sqrt(2),
+    E_defect_min=min(defect energies)."""
+    kappa = z[:, PZ.KAPPA]
+    lam = jnp.clip(z[:, PZ.LAMBDA_L], 0.01)
+    ev, ed = z[:, PZ.E_VORTEX], z[:, PZ.E_DOMAIN]
+    loss = _huber(ev, _c(jnp.log(jnp.clip(kappa, 1.01)) / lam ** 2))
+    loss += _huber(ed, z[:, PZ.SIGMA_NS])
+    loss += _huber(z[:, PZ.TYPE_I_II],
+                   jax.lax.stop_gradient(kappa) - 2.0 ** -0.5)
+    e_min = jnp.minimum(jax.lax.stop_gradient(ev),
+                        jax.lax.stop_gradient(ed))
+    loss += _huber(z[:, PZ.E_DEFECT_MIN], e_min)
+    return loss
+
+
+def ratio_consistency(z: jnp.ndarray) -> jnp.ndarray:
+    """Block 10 cross-block ratios (reference: :208-228): Tc/Theta_D and
+    xi/l_mfp."""
+    loss = _huber(z[:, PZ.TC_THETA_D],
+                  _c(z[:, PZ.TC] / jnp.clip(z[:, PZ.THETA_D], 0.01)))
+    loss += _huber(z[:, PZ.XI_L],
+                   _c(z[:, PZ.XI] / jnp.clip(z[:, PZ.L_MFP], 0.01)))
+    return loss
+
+
+def thermo_consistency(z: jnp.ndarray,
+                       tc_normalized: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Block 7 (reference: :231-283): z[TC] matches the input Tc, onset >=
+    midpoint >= zero ordering hinge, Delta_Tc = onset - zero identity."""
+    onset, mid = z[:, PZ.TC_ONSET], z[:, PZ.TC_MIDPOINT]
+    zero = z[:, PZ.TC_ZERO]
+    loss = jnp.asarray(0.0)
+    if tc_normalized is not None:
+        loss += _huber(z[:, PZ.TC], tc_normalized)
+    loss += jnp.clip(mid - onset, 0.0).mean()
+    loss += jnp.clip(zero - mid, 0.0).mean()
+    loss += _huber(z[:, PZ.DELTA_TC],
+                   jax.lax.stop_gradient(onset) - jax.lax.stop_gradient(zero))
+    return loss
+
+
+def structural_consistency(z: jnp.ndarray) -> jnp.ndarray:
+    """Block 5 (reference: :286-307): volume ~ a*b*c."""
+    a = jnp.clip(z[:, PZ.LATTICE_A], 0.01)
+    b = jnp.clip(z[:, PZ.LATTICE_B], 0.01)
+    c = jnp.clip(z[:, PZ.LATTICE_C], 0.01)
+    return _huber(z[:, PZ.VOLUME], _c(a * b * c))
+
+
+def electronic_consistency(z: jnp.ndarray) -> jnp.ndarray:
+    """Block 6 (reference: :309-333): Drude weight ~ plasma_freq^2."""
+    plasma = jax.lax.stop_gradient(z[:, PZ.PLASMA_FREQ])
+    return _huber(z[:, PZ.DRUDE_WEIGHT], _c(plasma ** 2))
+
+
 def physics_z_loss(
     z: jnp.ndarray,                 # [B, 2048]
     comp_targets: jnp.ndarray,      # [B, 15] normalized
@@ -93,21 +194,22 @@ def physics_z_loss(
         target = magpie @ jnp.asarray(_PROJ_CACHE[m_dim])   # [B, 62]
     mag = ((z[:, start:end] - target) ** 2).mean()
 
-    # thermodynamic: z[TC] tracks normalized Tc; transition width >= 0
-    thermo = ((z[:, PZ.TC] - tc_normalized) ** 2).mean()
-    thermo = thermo + jnp.clip(-z[:, PZ.DELTA_TC], 0.0).mean()
-
-    # GL/BCS internal consistency (soft)
-    kappa, lam, xi = z[:, PZ.KAPPA], z[:, PZ.LAMBDA_L], z[:, PZ.XI]
-    gl = ((kappa - (lam - xi)) ** 2).mean()      # log-space proxy: k = l - x
-    hc_order = jnp.clip(z[:, PZ.HC1] - z[:, PZ.HC2], 0.0).mean()
-    gap = ((z[:, PZ.GAP_RATIO]) ** 2).mean() * 0.1  # anchored near 0 (normed BCS)
-    consistency = gl + hc_order + gap
+    gl = gl_consistency(z)
+    bcs = bcs_consistency(z)
+    cob = cobordism_consistency(z)
+    ratios = ratio_consistency(z)
+    thermo = thermo_consistency(z, tc_normalized)
+    struct = structural_consistency(z)
+    elec = electronic_consistency(z)
+    consistency = gl + bcs + cob + ratios
+    new_consistency = thermo + struct + elec
 
     total = (cfg.comp_weight * comp + cfg.magpie_weight * mag
              + cfg.consistency_weight * consistency
-             + cfg.new_consistency_weight * thermo)
+             + cfg.new_consistency_weight * new_consistency)
     return {
         'total': total, 'comp': comp, 'magpie': mag,
-        'thermo': thermo, 'consistency': consistency,
+        'gl': gl, 'bcs': bcs, 'cobordism': cob, 'ratios': ratios,
+        'thermo': thermo, 'structural': struct, 'electronic': elec,
+        'consistency': consistency,
     }

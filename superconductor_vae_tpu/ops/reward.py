@@ -151,3 +151,38 @@ def compute_reward(
     rewards = jnp.where(length_only, lo_reward, rewards)
     rewards = jnp.where(ts_case, ts_reward, rewards)
     return rewards
+
+
+def batch_novelty_bonus(
+    sampled: jnp.ndarray,            # [B, T] token ids
+    mask: jnp.ndarray,               # [B, T] valid-token mask
+    vocab_size: int,
+    k_nearest: int = 5,
+    weight: float = 0.1,
+) -> jnp.ndarray:
+    """In-jit novelty bonus: Jaccard dissimilarity to the batch's own
+    rollouts (reference: training/entropy_maintenance.py:735-845
+    NoveltyBonus — the reference compares against a host-side history
+    buffer with per-pair Levenshtein in Python; on TPU the batch itself is
+    the reference set and token-set Jaccard becomes one [B, V] x [V, B]
+    matmul on the MXU, keeping the whole RL step device-resident).
+
+    Returns [B] bonuses in [0, weight]: rows whose token set is far from
+    their k most-similar batch neighbours earn more.
+    """
+    import jax
+    b = sampled.shape[0]
+    rows = jnp.arange(b)[:, None] * jnp.ones_like(sampled)
+    presence = jnp.zeros((b, vocab_size), jnp.float32).at[
+        rows.reshape(-1), sampled.reshape(-1)].max(
+        mask.reshape(-1).astype(jnp.float32))
+    inter = presence @ presence.T                             # [B, B]
+    counts = presence.sum(axis=1)
+    union = counts[:, None] + counts[None, :] - inter
+    jaccard = inter / jnp.clip(union, 1.0)
+    # exclude self-similarity, take the k most similar neighbours
+    jaccard = jaccard - 2.0 * jnp.eye(b)
+    k = min(k_nearest, max(b - 1, 1))
+    top_sim, _ = jax.lax.top_k(jaccard, k)
+    novelty = 1.0 - jnp.clip(top_sim, 0.0, 1.0).mean(axis=1)
+    return weight * jax.lax.stop_gradient(novelty)

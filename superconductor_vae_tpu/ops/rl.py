@@ -43,6 +43,10 @@ class RLConfig:
     reward: RewardConfig = RewardConfig()
     constraints: ConstraintConfig = ConstraintConfig()
     use_constraint_rewards: bool = True
+    # batch-Jaccard novelty bonus (reference: entropy_maintenance.py:735
+    # NoveltyBonus; 0 = off, the reference's default strategies don't use it)
+    novelty_weight: float = 0.0
+    novelty_k: int = 5
 
 
 def _pad_to(x: jnp.ndarray, t: int, value) -> jnp.ndarray:
@@ -63,6 +67,11 @@ def _total_reward(sampled, targets, mask, cfg: RLConfig, luts,
         r = r + constraint_rewards(
             sampled, mask, luts['token_to_z'], luts['token_value_table'],
             cfg.constraints, family_predictions=family_predictions)
+    if cfg.novelty_weight > 0:
+        from .reward import batch_novelty_bonus
+        r = r + batch_novelty_bonus(
+            sampled, mask, int(luts['token_value_table'].shape[0]),
+            k_nearest=cfg.novelty_k, weight=cfg.novelty_weight)
     return r
 
 
@@ -92,8 +101,10 @@ def scst_loss(
     family_predictions: Optional[jnp.ndarray] = None,
     sc_weight: Optional[jnp.ndarray] = None,   # [B] 1 for SC rows else 0
     temperature: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Self-critical sequence training. Returns (loss, mean_reward, entropy)."""
+    position_entropy_w: Optional[jnp.ndarray] = None,  # [T] per-pos weights
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Self-critical sequence training.
+    Returns (loss, mean_reward, entropy, extras{reward_var})."""
     t = targets.shape[1]
     g_rng, s_rng = jax.random.split(rng)
 
@@ -122,8 +133,14 @@ def scst_loss(
         per_sample = per_sample * sc_weight
     loss = per_sample.mean()
 
-    seq_ent = (s_ent * s_mask).sum(axis=1) / jnp.clip(s_mask.sum(axis=1), 1.0)
-    return loss, s_reward.mean(), seq_ent.mean()
+    ent_w = s_ent * s_mask
+    if position_entropy_w is not None:
+        # per-position weighting: explore harder where errors concentrate
+        # (reference: entropy_maintenance.py:650-733 PerPositionEntropyWeighter)
+        ent_w = ent_w * position_entropy_w[None, :s_ent.shape[1]]
+    seq_ent = ent_w.sum(axis=1) / jnp.clip(s_mask.sum(axis=1), 1.0)
+    extras = {'reward_var': jnp.var(s_reward)}
+    return loss, s_reward.mean(), seq_ent.mean(), extras
 
 
 def rloo_loss(
@@ -137,7 +154,8 @@ def rloo_loss(
     sc_weight: Optional[jnp.ndarray] = None,
     temperature: Optional[jnp.ndarray] = None,
     entropy_weight: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    position_entropy_w: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """RLOO with K leave-one-out baselines, one batched rollout of [B*K]."""
     b, t = targets.shape
     k = cfg.n_samples_rloo
@@ -157,7 +175,10 @@ def rloo_loss(
     s_ent = _pad_to(sample['entropy'], t, 0.0)
 
     task_r = _total_reward(s_tokens, targets_k, s_mask, cfg, luts, fam_k)
-    seq_ent = (s_ent * s_mask).sum(axis=1) / jnp.clip(s_mask.sum(axis=1), 1.0)
+    ent_pos = s_ent * s_mask
+    if position_entropy_w is not None:
+        ent_pos = ent_pos * position_entropy_w[None, :s_ent.shape[1]]
+    seq_ent = ent_pos.sum(axis=1) / jnp.clip(s_mask.sum(axis=1), 1.0)
     ent_w = cfg.entropy_weight if entropy_weight is None else entropy_weight
     rewards = jax.lax.stop_gradient(task_r + ent_w * seq_ent)
 
@@ -172,4 +193,5 @@ def rloo_loss(
         per_sample = per_sample * sc_weight[None, :]
     # each sample contributes its own gradient; sum over K of per-K means
     loss = per_sample.mean(axis=1).sum()
-    return loss, r.mean(), seq_ent.mean()
+    extras = {'reward_var': jnp.var(task_r)}
+    return loss, r.mean(), seq_ent.mean(), extras

@@ -121,6 +121,13 @@ class TrainConfig:
     entropy_weight_max: float = 1.0
     entropy_plateau_window: int = 10
     entropy_plateau_threshold: float = 0.01
+    # per-position entropy weighting + uncertainty-guided exploration
+    # (reference: entropy_maintenance.py:650-952)
+    entropy_per_position: bool = True
+    entropy_position_boost: float = 2.0
+    entropy_uncertainty_guided: bool = True
+    entropy_variance_threshold: float = 100.0  # reward units are ~[0, 100]
+    entropy_uncertainty_max_boost: float = 2.0
 
     # Tc-bin head snapshot/restore (reference: :829-832)
     tc_bin_tracker_enabled: bool = True

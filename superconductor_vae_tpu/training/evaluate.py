@@ -98,6 +98,7 @@ def evaluate_autoregressive(
     ar_exact, tf_exact = [], []
     tc_preds, tc_trues, z_norms = [], [], []
     fam_correct = []
+    pos_errors, pos_masks = [], []
     errors: List[dict] = []
 
     for b in range(nb):
@@ -113,6 +114,8 @@ def evaluate_autoregressive(
         ar = _exact_match(out['generated'][:m], targets)
         mask = targets != PAD_ID
         tf = ((out['tf_pred'][:m] == targets) | ~mask).all(axis=1)
+        pos_errors.append((out['tf_pred'][:m] != targets) & mask)
+        pos_masks.append(mask)
         ar_exact.append(ar)
         tf_exact.append(tf)
         tc_preds.append(out['tc_pred'][:m])
@@ -163,4 +166,7 @@ def evaluate_autoregressive(
         # TRUE dataset indices, not positions within the eval subset
         'per_sample_ar_exact': ar_exact,
         'sample_indices': sample_indices[:len(ar_exact)],
+        # per-position TF mismatches for the entropy weighter
+        'position_errors': np.concatenate(pos_errors),
+        'position_mask': np.concatenate(pos_masks),
     }

@@ -337,13 +337,30 @@ class EntropyManager:
         self.weight = cfg.entropy_weight_min
         self.reward_hist: deque = deque(maxlen=cfg.entropy_plateau_window)
         self.entropy_hist: deque = deque(maxlen=cfg.entropy_plateau_window)
+        self.variance_hist: deque = deque(maxlen=cfg.entropy_plateau_window)
         self.temperature_scale = 1.0
         self._cycle = 0
 
-    def update(self, mean_reward: float, mean_entropy: float) -> float:
+    def _uncertainty_boost(self) -> float:
+        """Uncertainty-guided exploration: high reward variance means the
+        policy is unsure — boost entropy (reference:
+        entropy_maintenance.py:881-952 UncertaintyGuidedExploration)."""
+        cfg = self.cfg
+        if not cfg.entropy_uncertainty_guided or len(self.variance_hist) < 3:
+            return 1.0
+        avg_var = sum(self.variance_hist) / len(self.variance_hist)
+        if avg_var <= cfg.entropy_variance_threshold:
+            return 1.0
+        ratio = avg_var / cfg.entropy_variance_threshold
+        return 1.0 + min(0.5 * ratio, cfg.entropy_uncertainty_max_boost)
+
+    def update(self, mean_reward: float, mean_entropy: float,
+               reward_var: Optional[float] = None) -> float:
         cfg = self.cfg
         self.reward_hist.append(mean_reward)
         self.entropy_hist.append(mean_entropy)
+        if reward_var is not None:
+            self.variance_hist.append(reward_var)
         strategy = cfg.entropy_strategy
 
         if strategy == 'constant':
@@ -375,12 +392,14 @@ class EntropyManager:
             self.weight = min(self.weight * 1.5, cfg.entropy_weight_max)
         elif mean_entropy > cfg.entropy_target:
             self.weight = max(self.weight * 0.9, cfg.entropy_weight_min)
-        return self.weight
+        return min(self.weight * self._uncertainty_boost(),
+                   cfg.entropy_weight_max)
 
     def state_dict(self) -> Dict:
         return {'weight': self.weight,
                 'reward_hist': list(self.reward_hist),
                 'entropy_hist': list(self.entropy_hist),
+                'variance_hist': list(self.variance_hist),
                 'temperature_scale': self.temperature_scale,
                 'cycle': self._cycle}
 
@@ -390,8 +409,55 @@ class EntropyManager:
                                  maxlen=self.cfg.entropy_plateau_window)
         self.entropy_hist = deque(s['entropy_hist'],
                                   maxlen=self.cfg.entropy_plateau_window)
+        self.variance_hist = deque(s.get('variance_hist', []),
+                                   maxlen=self.cfg.entropy_plateau_window)
         self.temperature_scale = s['temperature_scale']
         self._cycle = s['cycle']
+
+
+class PerPositionEntropyWeighter:
+    """Per-position entropy weighting: positions with high error rates get
+    more exploration (reference: entropy_maintenance.py:650-733).
+
+    Error rates come from the TF-eval per-position mismatches; the resulting
+    [T] weight vector enters the jitted RL loss as a traced array
+    (``dyn['entropy_pos_w']``) — updates never recompile.
+    """
+
+    def __init__(self, max_len: int, base_weight: float = 1.0,
+                 error_boost: float = 2.0, decay: float = 0.99):
+        import numpy as np
+        self.max_len = max_len
+        self.base_weight = base_weight
+        self.error_boost = error_boost
+        self.decay = decay
+        self.error_rates = np.full(max_len, 0.5)
+
+    def update(self, position_errors, position_mask) -> None:
+        """EMA-update per-position error rates from a [B, T] batch
+        (vectorized — the reference loops positions in Python)."""
+        import numpy as np
+        errors = np.asarray(position_errors, np.float64)
+        mask = np.asarray(position_mask, np.float64)
+        t = min(errors.shape[1], self.max_len)
+        counts = mask[:, :t].sum(axis=0)
+        rates = errors[:, :t].sum(axis=0) / np.clip(counts, 1, None)
+        seen = counts > 0
+        self.error_rates[:t] = np.where(
+            seen, self.decay * self.error_rates[:t] + (1 - self.decay) * rates,
+            self.error_rates[:t])
+
+    def weights(self):
+        import numpy as np
+        w = self.base_weight + self.error_boost * self.error_rates
+        return np.convolve(w, np.ones(3) / 3, mode='same')
+
+    def state_dict(self) -> Dict:
+        return {'error_rates': self.error_rates.tolist()}
+
+    def load_state_dict(self, s: Dict) -> None:
+        import numpy as np
+        self.error_rates = np.asarray(s['error_rates'])
 
 
 class TcBinTracker:

@@ -33,9 +33,9 @@ from ..tokenizer import default_tokenizer
 from .config import TrainConfig
 from .evaluate import evaluate_autoregressive
 from .schedulers import (
-    DropDetector, EntropyManager, LossSkipScheduler, PhysZController,
-    RLController, TcBinTracker, cosine_lr, curriculum_weights,
-    teacher_forcing_ratio,
+    DropDetector, EntropyManager, LossSkipScheduler,
+    PerPositionEntropyWeighter, PhysZController, RLController, TcBinTracker,
+    cosine_lr, curriculum_weights, teacher_forcing_ratio,
 )
 from .train_step import (
     build_luts, create_train_state, default_dyn, make_epoch_runner,
@@ -143,6 +143,9 @@ def train(
     drop_ctl = DropDetector(tcfg)
     ent_mgr = EntropyManager(tcfg)
     tc_tracker = TcBinTracker(tcfg)
+    pos_weighter = (PerPositionEntropyWeighter(
+        tcfg.max_formula_len - 1, error_boost=tcfg.entropy_position_boost)
+        if tcfg.entropy_per_position else None)
 
     # mastery-aware sampling + optional length-bucket AR curriculum
     from .mastery_sampler import CurriculumScheduler, MasteryTracker
@@ -200,6 +203,8 @@ def train(
             'rl': rl_ctl.state_dict(), 'physz': pz_ctl.state_dict(),
             'skip': skip_ctl.state_dict(), 'drop': drop_ctl.state_dict(),
             'entropy': ent_mgr.state_dict(),
+            'pos_weighter': (pos_weighter.state_dict()
+                             if pos_weighter else None),
             'curriculum': curriculum.state_dict() if curriculum else None,
             'best_exact': best_exact, 'last_best_saved': last_best_saved,
             'last_ar_exact': last_ar_exact,
@@ -242,6 +247,8 @@ def train(
                     obj.load_state_dict(ctl[key])
             if curriculum is not None and ctl.get('curriculum'):
                 curriculum.load_state_dict(ctl['curriculum'])
+            if pos_weighter is not None and ctl.get('pos_weighter'):
+                pos_weighter.load_state_dict(ctl['pos_weighter'])
             best_exact = float(ctl.get('best_exact', 0.0))
             last_best_saved = float(ctl.get('last_best_saved', 0.0))
             last_ar_exact = float(ctl.get('last_ar_exact', 0.0))
@@ -275,7 +282,8 @@ def train(
         pz_w = pz_ctl.epoch_update(epoch, tf_exact)
         skip_m = skip_ctl.multipliers(epoch, last_metrics)
         ent_w = (ent_mgr.update(last_metrics.get('mean_reward', 0.0),
-                                last_metrics.get('entropy', 1.0))
+                                last_metrics.get('entropy', 1.0),
+                                reward_var=last_metrics.get('reward_var'))
                  if last_metrics else tcfg.rl.entropy_weight)
         tf_ratio = teacher_forcing_ratio(tf_exact, tcfg)  # logged; TF path fixed
         lr = cosine_lr(epoch, tcfg) * drop_ctl.lr_scale
@@ -290,6 +298,9 @@ def train(
                 rl_ctl.temperature(epoch) * ent_mgr.temperature_scale, 0.011)),
             'entropy_weight': jnp.asarray(ent_w),
         })
+        if pos_weighter is not None:
+            dyn['entropy_pos_w'] = jnp.asarray(
+                pos_weighter.weights(), jnp.float32)
         dyn.update({k: jnp.asarray(v) for k, v in skip_m.items()})
 
         # epoch over weighted batches — metric sums stay ON DEVICE so every
@@ -365,6 +376,9 @@ def train(
             idx = eval_out['sample_indices']
             per = eval_out['per_sample_ar_exact'].astype(np.float64)
             mastery.update(idx, per)
+            if pos_weighter is not None:
+                pos_weighter.update(eval_out['position_errors'],
+                                    eval_out['position_mask'])
             w_combined = weights * mastery.weights()
             if curriculum is not None:
                 curriculum.report_ar_exact(per, idx)
@@ -447,7 +461,8 @@ def train(
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
                             epoch=epoch, metrics=row, tag='best',
                             controllers=_ctl_state(),
-                            extra_arrays=_mastery_arrays())
+                            extra_arrays=_mastery_arrays(),
+                            include_opt=False)
             last_best_saved = exact
         if interrupt['flag']:
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,

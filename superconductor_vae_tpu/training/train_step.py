@@ -234,13 +234,15 @@ def _build_step_fn(
             )
             if rlcfg.method == 'rloo':
                 kwargs['entropy_weight'] = dyn['entropy_weight']
+            if 'entropy_pos_w' in dyn:
+                kwargs['position_entropy_w'] = dyn['entropy_pos_w']
             # checkpoint the whole RL term: its rollout residuals then never
             # coexist with the TF-path activations (peak HBM = max of the
             # two paths instead of their sum)
             def _rl_term(dec_params, z, stoich, heads_vec, kw):
                 return rl_fn(decoder, dec_params, z, stoich, heads_vec,
                              targets, rl_rng, rlcfg, luts, **kw)
-            rl, reward_mean, _ = jax.checkpoint(_rl_term)(
+            rl, reward_mean, _, rl_extras = jax.checkpoint(_rl_term)(
                 dec_params, enc_out['z'], stoich, heads_vec, kwargs)
 
         pz = None
@@ -252,6 +254,8 @@ def _build_step_fn(
         total, metrics = multitask_loss(
             lcfg, enc_out, dec_out, batch, luts['type_table'],
             rl_loss=rl, rl_reward_mean=reward_mean, dyn=dyn, physz_loss=pz)
+        if rl_enabled:
+            metrics['reward_var'] = rl_extras['reward_var']
 
         # A5 round-trip cycle consistency on a subset (zoo default ON in the
         # reference, train_v12_clean.py:968-972)

@@ -254,9 +254,70 @@ class TestPhysicsZ:
     def test_fixed_projection_fallback(self):
         from superconductor_vae_tpu.ops.physics_z_loss import physics_z_loss
         out = physics_z_loss(*self._inputs())
-        assert set(out) >= {'total', 'comp', 'magpie', 'thermo', 'consistency'}
+        assert set(out) >= {'total', 'comp', 'magpie', 'thermo',
+                            'consistency', 'gl', 'bcs', 'cobordism',
+                            'ratios', 'structural', 'electronic'}
         for v in out.values():
             assert np.isfinite(float(v))
+
+    def test_sub_losses_vanish_on_consistent_z(self):
+        """Each consistency sub-loss is zero (or near) when z satisfies its
+        physical identity — validates the identities are encoded correctly
+        (reference: z_supervision_loss.py:78-333)."""
+        from superconductor_vae_tpu.models import physics_z as PZ
+        from superconductor_vae_tpu.ops import physics_z_loss as pzl
+        rng = np.random.default_rng(1)
+        b = 8
+        z = np.zeros((b, 2048), np.float32)
+        lam = rng.uniform(1.5, 3.0, b).astype(np.float32)
+        xi = rng.uniform(0.5, 1.0, b).astype(np.float32)
+        kappa = lam / xi
+        z[:, PZ.LAMBDA_L], z[:, PZ.XI], z[:, PZ.KAPPA] = lam, xi, kappa
+        z[:, PZ.HC] = 1.0 / (lam * xi)
+        z[:, PZ.HC2] = 1.0 / xi ** 2
+        z[:, PZ.E_COND] = z[:, PZ.HC] ** 2
+        z[:, PZ.HC1] = np.log(np.clip(kappa, 1.01, None)) / lam ** 2
+        assert float(pzl.gl_consistency(jnp.asarray(z))) < 1e-5
+
+        z[:, PZ.V_F] = rng.uniform(1, 2, b)
+        z[:, PZ.DELTA0] = rng.uniform(1, 2, b)
+        z[:, PZ.XI] = z[:, PZ.V_F] / z[:, PZ.DELTA0]
+        z[:, PZ.GAP_RATIO] = 3.528
+        assert float(pzl.bcs_consistency(jnp.asarray(z))) < 1e-5
+
+        z[:, PZ.E_VORTEX] = np.log(np.clip(kappa, 1.01, None)) / lam ** 2
+        z[:, PZ.SIGMA_NS] = rng.normal(size=b)
+        z[:, PZ.E_DOMAIN] = z[:, PZ.SIGMA_NS]
+        z[:, PZ.TYPE_I_II] = kappa - 2 ** -0.5
+        z[:, PZ.E_DEFECT_MIN] = np.minimum(z[:, PZ.E_VORTEX],
+                                           z[:, PZ.E_DOMAIN])
+        assert float(pzl.cobordism_consistency(jnp.asarray(z))) < 1e-5
+
+        z[:, PZ.THETA_D] = rng.uniform(1, 2, b)
+        z[:, PZ.L_MFP] = rng.uniform(1, 2, b)
+        z[:, PZ.TC] = rng.uniform(0.1, 1, b)
+        z[:, PZ.TC_THETA_D] = z[:, PZ.TC] / z[:, PZ.THETA_D]
+        z[:, PZ.XI_L] = z[:, PZ.XI] / z[:, PZ.L_MFP]
+        assert float(pzl.ratio_consistency(jnp.asarray(z))) < 1e-5
+
+        tc_n = z[:, PZ.TC].copy()
+        z[:, PZ.TC_ONSET] = z[:, PZ.TC] + 0.1
+        z[:, PZ.TC_MIDPOINT] = z[:, PZ.TC]
+        z[:, PZ.TC_ZERO] = z[:, PZ.TC] - 0.1
+        z[:, PZ.DELTA_TC] = z[:, PZ.TC_ONSET] - z[:, PZ.TC_ZERO]
+        assert float(pzl.thermo_consistency(jnp.asarray(z),
+                                            jnp.asarray(tc_n))) < 1e-5
+
+        z[:, PZ.LATTICE_A] = rng.uniform(1, 2, b)
+        z[:, PZ.LATTICE_B] = rng.uniform(1, 2, b)
+        z[:, PZ.LATTICE_C] = rng.uniform(1, 2, b)
+        z[:, PZ.VOLUME] = (z[:, PZ.LATTICE_A] * z[:, PZ.LATTICE_B]
+                           * z[:, PZ.LATTICE_C])
+        assert float(pzl.structural_consistency(jnp.asarray(z))) < 1e-5
+
+        z[:, PZ.PLASMA_FREQ] = rng.uniform(0.5, 1.5, b)
+        z[:, PZ.DRUDE_WEIGHT] = z[:, PZ.PLASMA_FREQ] ** 2
+        assert float(pzl.electronic_consistency(jnp.asarray(z))) < 1e-5
 
     def test_learnable_projection_trains(self):
         """Reference parity: MagpieEncodingLoss nn.Linear is trained jointly

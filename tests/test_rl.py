@@ -38,19 +38,20 @@ def setup():
 def test_scst(setup):
     dec, params, z, stoich, heads_vec, targets, luts = setup
     cfg = RLConfig(method='scst', max_len=CFG.max_len, use_type_masking=False)
-    loss, reward, ent = jax.jit(
+    loss, reward, ent, extras = jax.jit(
         lambda p, r: scst_loss(dec, p, z, stoich, heads_vec, targets, r,
                                cfg, luts))(params, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert np.isfinite(float(reward))
     assert float(ent) >= 0
+    assert float(extras['reward_var']) >= 0
 
 
 def test_rloo(setup):
     dec, params, z, stoich, heads_vec, targets, luts = setup
     cfg = RLConfig(method='rloo', n_samples_rloo=3, max_len=CFG.max_len,
                    use_type_masking=False)
-    loss, reward, ent = jax.jit(
+    loss, reward, ent, extras = jax.jit(
         lambda p, r: rloo_loss(dec, p, z, stoich, heads_vec, targets, r,
                                cfg, luts))(params, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss))
@@ -64,11 +65,47 @@ def test_scst_gradients(setup):
                    use_constraint_rewards=False)
 
     def fn(p):
-        loss, _, _ = scst_loss(dec, p, z, stoich, heads_vec, targets,
-                               jax.random.PRNGKey(3), cfg, luts)
+        loss, _, _, _ = scst_loss(dec, p, z, stoich, heads_vec, targets,
+                                  jax.random.PRNGKey(3), cfg, luts)
         return loss
 
     grads = jax.jit(jax.grad(fn))(params)
     norms = [float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(norms) > 0  # nonzero gradient signal
+
+
+def test_novelty_bonus_and_position_weights(setup):
+    """Novelty bonus rewards batch-unique rollouts; per-position entropy
+    weights reshape exploration (reference: entropy_maintenance.py:650-845)."""
+    from superconductor_vae_tpu.ops.reward import batch_novelty_bonus
+    dec, params, z, stoich, heads_vec, targets, luts = setup
+    tok3 = jnp.asarray([[5, 6, 7, 0], [5, 6, 7, 0], [9, 10, 11, 12]])
+    m3 = (tok3 != 0).astype(jnp.float32)
+    nb = batch_novelty_bonus(tok3, m3, 20, weight=0.5)
+    assert float(nb[2]) > float(nb[0])
+
+    cfg = RLConfig(method='scst', max_len=CFG.max_len, use_type_masking=False,
+                   novelty_weight=0.1)
+    pos_w = jnp.linspace(2.0, 0.5, targets.shape[1])
+    loss, reward, ent, extras = jax.jit(
+        lambda p, r: scst_loss(dec, p, z, stoich, heads_vec, targets, r,
+                               cfg, luts, position_entropy_w=pos_w))(
+        params, jax.random.PRNGKey(4))
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(extras['reward_var']))
+
+
+def test_per_position_weighter():
+    from superconductor_vae_tpu.training.schedulers import (
+        PerPositionEntropyWeighter)
+    w = PerPositionEntropyWeighter(max_len=8, decay=0.0)
+    errors = np.zeros((4, 8)); errors[:, 2] = 1      # all rows err at pos 2
+    mask = np.ones((4, 8))
+    w.update(errors, mask)
+    weights = w.weights()
+    assert weights[2] == max(weights)
+    s = w.state_dict()
+    w2 = PerPositionEntropyWeighter(max_len=8)
+    w2.load_state_dict(s)
+    np.testing.assert_allclose(w2.error_rates, w.error_rates)

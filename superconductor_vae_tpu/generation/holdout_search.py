@@ -43,6 +43,10 @@ class HoldoutResult:
     exact: bool
     best_similarity: float
     n_candidates: int
+    # re-encode self-consistency of the best match's latent centroid
+    # (reference: holdout_search_targeted.py:593-775)
+    consistent: bool = True
+    consistency: Optional[Dict[str, float]] = None
 
 
 def element_presence(formulas: List[str]) -> np.ndarray:
@@ -108,9 +112,36 @@ class HoldoutSearch:
                 np.asarray(anchor)[None] + mags @ comps))
         return jnp.concatenate(parts, axis=0)[:budget]
 
+    def consistency_check(self, z: jnp.ndarray) -> Dict[str, np.ndarray]:
+        """All-head self-consistency over candidate latents
+        (reference: holdout_search_targeted.py:593-775 run_consistency_check):
+        SC prob vs predicted Tc, SC prob vs family head, Tc value vs Tc
+        bucket.  One vectorized heads_from_z pass instead of the reference's
+        per-head per-batch loop.
+        """
+        heads = jax.jit(lambda ep, zz: self.pipe.encoder.apply(
+            ep, zz, method=MaterialsEncoder.heads_from_z))(
+            self.pipe.enc_params, z)
+        tc_k = np.asarray(self.pipe.ds.norm_stats.tc_to_kelvin(
+            np.asarray(heads['tc_pred'], np.float64)))
+        sc_p = np.asarray(jax.nn.sigmoid(heads['sc_pred']))
+        fam = np.asarray(heads['family_composed_14'].argmax(-1))
+        bucket = np.asarray(heads['tc_class_logits'].argmax(-1))
+        exp_bucket = np.digitize(tc_k, [0.0, 10.0, 50.0, 100.0])
+        sc_tc = (((sc_p < 0.5) & (tc_k > 5.0))
+                 | ((sc_p > 0.8) & (tc_k <= 0.0)))
+        # family index 0 = NOT_SUPERCONDUCTOR in the composed-14 layout
+        sc_family = (((sc_p < 0.5) & (fam != 0))
+                     | ((sc_p > 0.8) & (fam == 0)))
+        tc_bucket = np.abs(exp_bucket - bucket) > 1
+        return {'sc_tc_mismatch': sc_tc, 'sc_family_mismatch': sc_family,
+                'tc_bucket_mismatch': tc_bucket,
+                'tc_pred_kelvin': tc_k, 'sc_prob': sc_p}
+
     def search(self, budget_per_target: int = 200, seed: int = 0,
                targets: Optional[List[str]] = None,
                temperature_sweep: tuple = (0.0, 0.7),
+               check_consistency: bool = True,
                log_fn=print) -> List[HoldoutResult]:
         cache = self.pipe.analyzer.build_cache(self.pipe.ds)
         results = []
@@ -122,16 +153,35 @@ class HoldoutSearch:
             for temp in temperature_sweep:
                 formulas += self.pipe.decode_latents(
                     z, temperature=temp, rng=jax.random.fold_in(t_rng, int(temp * 100)))
+            # per-formula latent centroids (same z decoded at each temp)
+            z_np = np.asarray(z)
+            by_formula: Dict[str, list] = {}
+            for j, f in enumerate(formulas):
+                if f:
+                    by_formula.setdefault(f, []).append(j % len(z_np))
             best, best_sim = '', 0.0
-            for f in set(formulas):
+            for f in by_formula:
                 sim = 1.0 if f == target else element_similarity(f, target)
                 if sim > best_sim:
                     best, best_sim = f, sim
+            consistent = True
+            cons_info = None
+            if check_consistency and best:
+                cen = jnp.asarray(
+                    z_np[np.asarray(by_formula[best])].mean(axis=0))[None]
+                c = self.consistency_check(cen)
+                consistent = not (c['sc_tc_mismatch'][0]
+                                  or c['sc_family_mismatch'][0]
+                                  or c['tc_bucket_mismatch'][0])
+                cons_info = {'tc_pred_kelvin': float(c['tc_pred_kelvin'][0]),
+                             'sc_prob': float(c['sc_prob'][0])}
             results.append(HoldoutResult(
                 target=target, best_match=best, exact=best == target,
-                best_similarity=best_sim, n_candidates=len(set(formulas))))
+                best_similarity=best_sim, n_candidates=len(by_formula),
+                consistent=consistent, consistency=cons_info))
             log_fn(f'[{t_i+1}] {target}: best={best!r} sim={best_sim:.3f} '
-                   f'{"EXACT" if best == target else ""}')
+                   f'{"EXACT" if best == target else ""}'
+                   f'{"" if consistent else " INCONSISTENT"}')
         return results
 
     @staticmethod
@@ -144,4 +194,5 @@ class HoldoutSearch:
             'sim_ge_95': sum(r.best_similarity >= 0.95 for r in results),
             'mean_similarity': float(np.mean([r.best_similarity
                                               for r in results])) if n else 0.0,
+            'consistent': sum(r.consistent for r in results),
         }

@@ -38,6 +38,10 @@ def main():
                    help='benchmark batched KV-cache generation instead '
                         '(formulas/s; baseline = reference 57.6 forward '
                         'passes/s, COMPUTATIONAL_EFFICIENCY.md:39)')
+    p.add_argument('--spec', action='store_true',
+                   help='benchmark speculative decode (n-gram draft, '
+                        'per-row advance) vs the plain KV-cache scan; '
+                        'reports formulas/s + measured acceptance')
     args = p.parse_args()
 
     if args.quick:
@@ -110,6 +114,65 @@ def main():
             'vs_baseline': round(per_chip / 57.6, 2),
         }))
         return
+
+    if args.spec:
+        # speculative decode throughput vs the plain scan.  The draft is
+        # built from the model's own greedy outputs (self-consistent), so
+        # acceptance reflects the machinery at a realistic rate; with a
+        # trained checkpoint + corpus draft, pass-through via scripts/
+        # generation_quality.py measures the production number.
+        from superconductor_vae_tpu.generation import (
+            GenerationConfig, generate_with_kv_cache,
+        )
+        from superconductor_vae_tpu.generation.speculative import (
+            speculative_generate,
+        )
+        from superconductor_vae_tpu.models.draft import build_ngram_draft
+        gcfg = GenerationConfig(max_len=mcfg.max_len, temperature=0.0)
+        z = jax.random.normal(rng, (batch_size, mcfg.latent_dim), dtype)
+        stoich = jnp.zeros((batch_size, mcfg.stoich_input_dim), dtype)
+        hv = jnp.zeros((batch_size, mcfg.heads_input_dim), dtype)
+
+        @jax.jit
+        def plain(dec_params):
+            return generate_with_kv_cache(
+                decoder, dec_params, z, stoich, hv,
+                jax.random.PRNGKey(0), gcfg)['tokens']
+
+        ref = np.asarray(plain(state.dec_params))
+        stream = np.concatenate(
+            [np.ones((batch_size, 1), np.int64), ref.astype(np.int64)], 1)
+        d = build_ngram_draft(stream, tokenizer, grammar_constrained=False)
+        tables = {'bigram': jnp.asarray(d['bigram']),
+                  'trigram': jnp.asarray(d['trigram'])}
+
+        @jax.jit
+        def spec(dec_params):
+            out = speculative_generate(decoder, dec_params, z, stoich, hv,
+                                       tables, k=4)
+            return out['tokens'], out['acceptance_rate']
+
+        def time_fn(fn):
+            out = fn(state.dec_params)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                out = fn(state.dec_params)
+            jax.block_until_ready(out)
+            return out, (time.perf_counter() - t0)
+
+        _, dt_plain = time_fn(plain)
+        (toks, acc), dt_spec = time_fn(spec)
+        per_chip = args.steps * batch_size / dt_spec / jax.device_count()
+        print(json.dumps({
+            'metric': 'speculative_generation_formulas_per_s_per_chip',
+            'value': round(per_chip, 2), 'unit': 'formulas/s/chip',
+            'vs_baseline': round(per_chip / 57.6, 2),
+            'acceptance_rate': round(float(acc), 4),
+            'speedup_vs_plain_scan': round(dt_plain / dt_spec, 3),
+        }))
+        return
+
     step = make_train_step(encoder, decoder, tcfg, tx_enc, tx_dec, luts,
                            rl_enabled=args.rl, donate=True)
 

@@ -1,4 +1,4 @@
-"""Speculative decoding: n-gram draft + chunked cached verification.
+"""Speculative decoding: n-gram backoff draft + chunked cached verification.
 
 Capability parity with the reference's speculative path
 (reference: autoregressive_decoder.py:1643-1984
@@ -9,33 +9,45 @@ alternative because on TPU the verification cost model is different: a
 k-token chunk forward costs barely more than a single-token step, so even
 modest acceptance rates win wall-clock.)
 
-Algorithm (greedy speculative decoding):
-  1. draft k tokens by chaining the bigram LUT
+Algorithm (greedy speculative decoding, PER-ROW advance):
+  1. draft k tokens by chaining the trigram-with-bigram-backoff LUTs
+     (models/draft.py; the reference's n-gram backoff, ngram_draft.py:1139)
   2. ONE chunk forward verifies all k against the model argmax
   3. accept the longest agreeing prefix + the model's own next token
-  4. advance the shared cache pointer by min-over-batch(accepted + 1)
-     (rows that accepted more simply re-verify those tokens next round —
-     the greedy model is deterministic, so re-verification is lossless)
+  4. EVERY row advances by its own acceptance length — per-row cache and
+     output writes via dense gather+select (decoder.decode_chunk_perrow),
+     so fast rows never wait on slow rows (round-1's batch-min pointer
+     discarded accepted tokens)
 
-Fixed shapes throughout: the outer loop is a lax.scan; rejected cache rows
-are masked by the position pointer and overwritten by later chunks.
+The outer loop is a ``lax.while_loop`` that exits as soon as every row has
+emitted EOS or filled its buffer: with acceptance a, the expected iteration
+count is ~steps/(1+a*k) instead of the scan's fixed ``steps``.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..tokenizer import BOS_ID, EOS_ID
 from .generate import sequence_mask
 
 
+def _as_draft_tables(draft) -> Dict[str, jnp.ndarray]:
+    """Accept a bare bigram [V] LUT or a {'bigram','trigram'} dict."""
+    if isinstance(draft, dict):
+        return {'bigram': jnp.asarray(draft['bigram'], jnp.int32),
+                'trigram': jnp.asarray(draft['trigram'])}
+    return {'bigram': jnp.asarray(draft, jnp.int32), 'trigram': None}
+
+
 def speculative_generate(
     decoder, variables,
     z: jnp.ndarray, stoich: jnp.ndarray, heads_vec: jnp.ndarray,
-    draft_table: jnp.ndarray,          # [V] next-token LUT
+    draft_table,                        # [V] bigram LUT or draft dict
     max_len: Optional[int] = None,
     k: int = 4,
 ) -> Dict[str, jnp.ndarray]:
@@ -48,8 +60,8 @@ def speculative_generate(
     steps = max_len - 1
     b = z.shape[0]
     chunk = k + 1
-    # worst case the pointer advances 1/iteration
-    n_outer = steps
+    tables = _as_draft_tables(draft_table)
+    bigram, trigram = tables['bigram'], tables['trigram']
 
     memory = decoder.apply(variables, z, stoich, heads_vec,
                            method=FormulaDecoder.build_memory)
@@ -60,77 +72,88 @@ def speculative_generate(
 
     # output buffer padded so chunk writes never clip
     out0 = jnp.zeros((b, steps + chunk), jnp.int32)
+    opos = jnp.arange(steps + chunk)
+    cpos = jnp.arange(chunk)
 
-    def body(carry, _):
-        cur, pos, finished, kc, vc, out, acc_n, draft_n = carry
+    def draft_k(prev, cur):
+        def step(carry, _):
+            p, c = carry
+            nxt = bigram[c]
+            if trigram is not None:
+                t = trigram[p, c].astype(jnp.int32)
+                nxt = jnp.where(t < 0, nxt, t)
+            return (c, nxt), nxt
+        _, drafts = jax.lax.scan(step, (prev, cur), None, length=k)
+        return drafts.T                                        # [B, k]
+
+    def cond(carry):
+        prev, cur, pos, finished, kc, vc, out, acc_n, draft_n, it = carry
+        return jnp.any(~finished & (pos < steps)) & (it < steps)
+
+    def body(carry):
+        prev, cur, pos, finished, kc, vc, out, acc_n, draft_n, it = carry
         done = pos >= steps
+        live = ~(finished | done)
 
-        # 1. chain-draft k tokens
-        def draft_step(tok, _):
-            nxt = draft_table[tok]
-            return nxt, nxt
-        _, drafts = jax.lax.scan(draft_step, cur, None, length=k)
-        drafts = drafts.T                                          # [B, k]
+        # 1. chain-draft k tokens per row (trigram w/ bigram backoff)
+        drafts = draft_k(prev, cur)
         chunk_in = jnp.concatenate([cur[:, None], drafts], axis=1)  # [B, k+1]
 
-        # 2. verify with one cached chunk forward (clamp pos for the write)
+        # 2. verify with one cached chunk forward at per-row positions
         safe_pos = jnp.minimum(pos, steps - 1)
         heads, kc_new, vc_new = decoder.apply(
             variables, chunk_in, safe_pos, kc, vc, mem_kvs,
-            method=FormulaDecoder.decode_chunk)
+            method=FormulaDecoder.decode_chunk_perrow)
         model_next = jnp.argmax(heads['logits'], axis=-1).astype(jnp.int32)
 
-        # 3. longest agreeing draft prefix per row
+        # 3. longest agreeing draft prefix per row + the model's own token
         agree = drafts == model_next[:, :k]
         prefix_ok = jnp.cumprod(agree.astype(jnp.int32), axis=1)
-        n_acc = prefix_ok.sum(axis=1)                              # [B] 0..k
-
-        positions = jnp.arange(chunk)[None, :]
+        n_acc = prefix_ok.sum(axis=1)                          # [B] 0..k
         drafts_p = jnp.concatenate(
-            [drafts, jnp.zeros((b, 1), drafts.dtype)], axis=1)     # [B, k+1]
-        emitted = jnp.where(positions < n_acc[:, None], drafts_p, 0)
+            [drafts, jnp.zeros((b, 1), drafts.dtype)], axis=1)  # [B, k+1]
+        emitted = jnp.where(cpos[None, :] < n_acc[:, None], drafts_p, 0)
         bonus = jnp.take_along_axis(model_next, n_acc[:, None], axis=1)[:, 0]
         emitted = emitted.at[jnp.arange(b), n_acc].set(bonus)
-        n_emit = n_acc + 1
-        valid = positions < n_emit[:, None]
-        emitted = jnp.where(finished[:, None] | done, 0, emitted * valid)
+        n_emit = n_acc + 1                                     # [B] 1..k+1
+        valid = cpos[None, :] < n_emit[:, None]
+        emitted = jnp.where(live[:, None], emitted * valid, 0)
 
-        out = jax.lax.dynamic_update_slice_in_dim(out, emitted, safe_pos,
-                                                  axis=1)
+        # 4. PER-ROW advance: everything emitted is committed
+        adv = jnp.where(live, n_emit, 0)                       # [B]
 
-        # 4. batch-uniform advance = min over unfinished rows of n_emit
-        adv = jnp.min(jnp.where(finished | done, chunk, n_emit))
-        adv = jnp.clip(adv, 1, chunk)
+        # masked per-row write of the chunk into the output buffer
+        uidx = jnp.clip(opos[None, :] - safe_pos[:, None], 0, chunk - 1)
+        inr = ((opos[None, :] >= safe_pos[:, None])
+               & (opos[None, :] < safe_pos[:, None] + chunk)
+               & live[:, None])
+        out = jnp.where(inr, jnp.take_along_axis(emitted, uidx, axis=1), out)
 
-        # a row is finished only when EOS lands in the COMMITTED region
-        # (< adv): tokens beyond the batch-min advance are uncommitted and
-        # get re-verified (and re-written) next iteration — marking them
-        # finished would zero the next chunk's write over the EOS itself,
-        # silently truncating the row
-        hit_end = ((emitted == EOS_ID) & valid & (positions < adv)).any(axis=1)
-        cat = jnp.concatenate([cur[:, None], emitted], axis=1)     # [B, k+2]
-        new_cur = jnp.take(cat, adv, axis=1)                       # [B]
-        new_cur = jnp.where(finished, cur, new_cur)
+        hit_end = ((emitted == EOS_ID) & valid).any(axis=1)
 
-        acc_n = acc_n + jnp.where(done, 0, jnp.sum(
-            jnp.where(finished, 0, jnp.minimum(n_acc, adv))))
-        draft_n = draft_n + jnp.where(done, 0, jnp.sum(
-            jnp.where(finished, 0, jnp.minimum(k, adv))))
+        # next (prev, cur) = last two tokens of the committed sequence
+        cat = jnp.concatenate([prev[:, None], cur[:, None], emitted], axis=1)
+        new_cur = jnp.take_along_axis(cat, adv[:, None] + 1, axis=1)[:, 0]
+        new_prev = jnp.take_along_axis(cat, adv[:, None], axis=1)[:, 0]
 
-        finished = finished | hit_end
-        new_pos = jnp.where(done, pos, pos + adv)
-        return ((new_cur, new_pos, finished, kc_new, vc_new, out,
-                 acc_n, draft_n), None)
+        acc_n = acc_n + jnp.sum(jnp.where(live, n_acc, 0))
+        draft_n = draft_n + jnp.sum(jnp.where(live, k, 0))
 
-    init = (jnp.full((b,), BOS_ID, jnp.int32), jnp.int32(0),
+        return (new_prev, new_cur, pos + adv, finished | hit_end,
+                kc_new, vc_new, out, acc_n, draft_n, it + 1)
+
+    init = (jnp.full((b,), BOS_ID, jnp.int32),
+            jnp.full((b,), BOS_ID, jnp.int32),
+            jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), bool), kc, vc, out0,
-            jnp.int32(0), jnp.int32(0))
-    (cur, pos, finished, kc, vc, out, acc, drafted), _ = jax.lax.scan(
-        body, init, None, length=n_outer)
+            jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    (prev, cur, pos, finished, kc, vc, out, acc, drafted,
+     iters) = jax.lax.while_loop(cond, body, init)
 
     tokens = out[:, :steps]
     return {
         'tokens': tokens,
         'mask': sequence_mask(tokens),
         'acceptance_rate': acc / jnp.clip(drafted, 1),
+        'n_iterations': iters,
     }

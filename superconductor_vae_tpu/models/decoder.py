@@ -342,6 +342,67 @@ class FormulaDecoder(nn.Module):
         heads = self.output_heads(x, deterministic=True)
         return heads, jnp.stack(new_k), jnp.stack(new_v)
 
+    def decode_chunk_perrow(self, tokens, positions, k_caches, v_caches,
+                            memory_kvs):
+        """``decode_chunk`` with PER-ROW start positions.
+
+        Speculative decoding advances each row by its own acceptance length
+        (the reference re-verifies per row in Python,
+        autoregressive_decoder.py:1643-1984; the round-1 batch-min pointer
+        wasted accepted tokens).  Per-row cache writes use a dense
+        gather+select over the (tiny, ≤38-slot) cache axis instead of a
+        scatter — fully MXU/VPU-friendly, no dynamic shapes.
+
+        Args:
+          tokens: [B, K] chunk inputs per row
+          positions: [B] int32 per-row start position
+        Returns (head outputs over the K positions, k_caches, v_caches).
+        """
+        cfg = self.cfg
+        b, k = tokens.shape
+        x = self.token_embedding(tokens)
+        pos_idx = jnp.clip(positions[:, None] + jnp.arange(k)[None, :],
+                           0, self.pos_table.shape[0] - 1)     # [B, K]
+        x = x + self.pos_table[pos_idx].astype(self.dtype)
+        q_pos = pos_idx                                        # [B, K]
+        t_cache = k_caches.shape[2]
+        cache_pos = jnp.arange(t_cache)                        # [T]
+        # query i of row b attends cache slots <= positions[b] + i
+        mask = cache_pos[None, None, None, :] <= q_pos[:, None, :, None]
+        # cache slot t of row b takes update row (t - positions[b]) if in range
+        upd_idx = jnp.clip(cache_pos[None, :] - positions[:, None], 0, k - 1)
+        in_range = ((cache_pos[None, :] >= positions[:, None])
+                    & (cache_pos[None, :] < positions[:, None] + k))
+        sel = in_range[:, :, None, None]
+
+        def write(cache, upd):
+            # cache [B, T, H, Dh], upd [B, K, H, Dh]
+            g = jnp.take_along_axis(
+                upd, jnp.broadcast_to(upd_idx[:, :, None, None],
+                                      (b, t_cache) + upd.shape[2:]), axis=1)
+            return jnp.where(sel, g, cache)
+
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            xn = layer.norm1(x)
+            q = layer._split(layer.self_q(xn))
+            kk, vv = layer.self_kv(xn)
+            k_c = write(k_caches[i], kk)
+            v_c = write(v_caches[i], vv)
+            sa = mha_attention(q, k_c, v_c, mask).reshape(b, k, cfg.d_model)
+            x = x + layer.self_o(sa)
+            xn = layer.norm2(x)
+            qc = layer._split(layer.cross_q(xn))
+            mk, mv = memory_kvs[i]
+            ca = mha_attention(qc, mk, mv).reshape(b, k, cfg.d_model)
+            x = x + layer.cross_o(ca)
+            xn = layer.norm3(x)
+            x = x + layer.ff2(_gelu(layer.ff1(xn)))
+            new_k.append(k_c)
+            new_v.append(v_c)
+        heads = self.output_heads(x, deterministic=True)
+        return heads, jnp.stack(new_k), jnp.stack(new_v)
+
     def init_cache(self, batch_size: int, extra: int = 0
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """`extra` adds slack rows for chunked decode writes at the tail."""

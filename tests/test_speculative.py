@@ -126,3 +126,58 @@ def test_speculative_equals_greedy(setup):
     _assert_greedy_equivalent(dec, params, z, stoich, hv, got2, ref_masked)
     # the self-consistent draft should get accepted at a decent rate
     assert float(out2['acceptance_rate']) >= float(out['acceptance_rate'])
+
+
+def test_ngram_draft_build():
+    """Trigram context must disambiguate successors the bigram collapses."""
+    from superconductor_vae_tpu.models.draft import build_ngram_draft
+    tok = default_tokenizer(max_len=16)
+    # after "Cu3" -> O7, after "Cu4" -> O8; bigram on Cu alone can't separate
+    corpus = ['YBa2Cu3O7'] * 3 + ['LaBa2Cu4O8'] * 3
+    tokens = tok.encode_batch(corpus)
+    d = build_ngram_draft(tokens, tok)
+    assert d['trigram'].shape == (tok.vocab_size, tok.vocab_size)
+    assert d['trigram'].dtype == np.int16
+    cu, o = tok.token_id('Cu'), tok.token_id('O')
+    t3, t4 = tok.token_id('3'), tok.token_id('4')
+    assert int(d['trigram'][cu, t3]) == o
+    assert int(d['trigram'][cu, t4]) == o
+    # unseen context backs off
+    assert int(d['trigram'][o, o]) == -1
+
+
+def test_ngram_draft_save_load(tmp_path):
+    from superconductor_vae_tpu.models.draft import build_ngram_draft
+    tok = default_tokenizer(max_len=16)
+    d = build_ngram_draft(tok.encode_batch(['MgB2', 'YBa2Cu3O7']), tok)
+    save_draft(tmp_path / 'ng.npz', d)
+    loaded = load_draft(tmp_path / 'ng.npz')
+    np.testing.assert_array_equal(loaded['bigram'], d['bigram'])
+    np.testing.assert_array_equal(loaded['trigram'], d['trigram'])
+
+
+def test_speculative_perrow_early_exit(setup):
+    """With a self-consistent n-gram draft, the while_loop must finish in
+    fewer iterations than the token count (per-row advance actually
+    advances), and still match greedy."""
+    from superconductor_vae_tpu.models.draft import build_ngram_draft
+    dec, params, z, stoich, hv = setup
+    gcfg = GenerationConfig(max_len=CFG.max_len, temperature=0.0)
+    ref = generate_with_kv_cache(dec, params, z, stoich, hv,
+                                 jax.random.PRNGKey(0), gcfg)
+    ref_tokens = np.asarray(ref['tokens'])
+    ref_masked = ref_tokens * np.asarray(ref['mask']).astype(np.int32)
+
+    tok_stream = np.concatenate(
+        [np.full((B, 1), 1, np.int64), ref_tokens.astype(np.int64)], axis=1)
+    tokenizer = default_tokenizer(max_len=CFG.max_len)
+    d = build_ngram_draft(tok_stream, tokenizer, grammar_constrained=False)
+    out = jax.jit(lambda p: speculative_generate(
+        dec, p, z, stoich, hv,
+        {'bigram': jnp.asarray(d['bigram']),
+         'trigram': jnp.asarray(d['trigram'])}, k=3))(params)
+    got = np.asarray(out['tokens']) * np.asarray(out['mask']).astype(np.int32)
+    _assert_greedy_equivalent(dec, params, z, stoich, hv, got, ref_masked)
+    steps = CFG.max_len - 1
+    assert int(out['n_iterations']) < steps
+    assert float(out['acceptance_rate']) > 0.3

@@ -227,6 +227,13 @@ def train(
             drift = check_manifest_drift(meta.get('manifest', {}), mcfg, tcfg)
             if drift:
                 log_fn(f'[resume] manifest drift: {drift}')
+            # auto-migration chain: vocab / magpie-dim / pz-proj upgrades
+            # before loading (reference: train_v12_clean.py:6497-6565)
+            from ..checkpoint.migrate import auto_migrate
+            restored, migrations = auto_migrate(
+                restored, meta, mcfg, tokenizer=tokenizer, seed=tcfg.seed)
+            for act in migrations:
+                log_fn(f'[resume][migrate] {act}')
             state = state.replace(
                 enc_params=restored['enc_params'],
                 dec_params=restored['dec_params'],

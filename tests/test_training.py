@@ -346,3 +346,68 @@ def test_epoch_runner_matches_per_step_path():
                                    rtol=1e-4, atol=1e-5)
     assert int(state_b.step) == 2
     assert np.isfinite(float(sums['total']))
+
+
+def test_resume_auto_migrates_old_checkpoint(tmp_path):
+    """Resume from a deliberately old-architecture checkpoint (smaller
+    vocab, different magpie dim) must chain the migration upgrades
+    (reference: train_v12_clean.py:6497-6565) instead of crashing."""
+    import orbax.checkpoint as ocp
+    from superconductor_vae_tpu.checkpoint.migrate import auto_migrate
+    from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+    mcfg = tiny_test_config()
+    ds = synthetic_dataset(n=32, max_len=mcfg.max_len,
+                           magpie_dim=mcfg.magpie_dim)
+    cfg = small_train_config(num_epochs=1)
+    cfg.checkpoint_interval = 1
+    train(model_config=mcfg, train_config=cfg, dataset=ds,
+          output_dir=tmp_path, use_mesh=False, log_fn=lambda *a: None)
+
+    # emulate an OLD checkpoint: slice the decoder vocab down to 4000 rows
+    # and the encoder magpie branch down to 12 features, then re-save
+    from superconductor_vae_tpu.checkpoint import (latest_checkpoint,
+                                                   load_checkpoint)
+    path = latest_checkpoint(tmp_path / 'checkpoints')
+    restored, meta = load_checkpoint(path)
+    old = jax.tree.map(np.array, restored)
+    d = old['dec_params']['params']
+    d['token_embedding']['embedding'] = d['token_embedding']['embedding'][:4000]
+    d['out_d2']['kernel'] = d['out_d2']['kernel'][:, :4000]
+    d['out_d2']['bias'] = d['out_d2']['bias'][:4000]
+    e = old['enc_params']['params']
+    e['magpie_encoder']['Dense_0']['kernel'] = \
+        e['magpie_encoder']['Dense_0']['kernel'][:12]
+    e['magpie_head']['Dense_1']['kernel'] = \
+        e['magpie_head']['Dense_1']['kernel'][:, :12]
+    e['magpie_head']['Dense_1']['bias'] = \
+        e['magpie_head']['Dense_1']['bias'][:12]
+    import shutil
+    shutil.rmtree(path / 'state')
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path / 'state', old, force=True)
+
+    # unit-level: migrate the payload directly
+    restored2, meta2 = load_checkpoint(path)
+    tok = default_tokenizer(max_len=mcfg.max_len)
+    migrated, actions = auto_migrate(restored2, meta2, mcfg, tokenizer=tok)
+    assert len(actions) >= 2, actions
+    emb = np.asarray(
+        migrated['dec_params']['params']['token_embedding']['embedding'])
+    assert emb.shape[0] == mcfg.vocab_size
+    k_in = np.asarray(migrated['enc_params']['params']['magpie_encoder']
+                      ['Dense_0']['kernel'])
+    assert k_in.shape[0] == mcfg.magpie_dim
+    # zero-padded input rows: old-feature function preserved
+    assert np.allclose(k_in[12:], 0.0)
+    assert 'dec_opt' not in migrated and 'enc_opt' not in migrated
+
+    # end-to-end: resume with the current architecture runs a full epoch
+    logs = []
+    cfg2 = small_train_config(num_epochs=2)
+    cfg2.checkpoint_interval = 1
+    cfg2.resume = 'auto'
+    out = train(model_config=mcfg, train_config=cfg2, dataset=ds,
+                output_dir=tmp_path, use_mesh=False, log_fn=logs.append)
+    assert any('[migrate]' in str(l) for l in logs), logs
+    assert out['history']

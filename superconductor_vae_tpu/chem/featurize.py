@@ -93,3 +93,85 @@ def formula_features(formula: str) -> np.ndarray:
 def featurize_formulas(formulas: Sequence[str]) -> np.ndarray:
     """[N, N_FEATURES] matrix for a list of formulas."""
     return np.stack([formula_features(f) for f in formulas])
+
+
+# ---- cross-featurizer bridge -------------------------------------------------
+
+#: numeric CSV columns that are labels/metadata, not Magpie features
+#: (mirrors data/pipeline.py's magpie column auto-detection)
+_NON_FEATURE_COLS = {
+    'formula', 'Tc', 'composition', 'category', 'is_superconductor',
+    'compound possible', 'formula_original', 'requires_high_pressure',
+}
+
+
+def fit_magpie_bridge(ref_csv, out_path=None, limit: int | None = None
+                      ) -> Dict[str, np.ndarray]:
+    """Fit a least-squares linear map from THIS module's descriptor layout
+    to a reference corpus' Magpie column layout.
+
+    The reference checkpoints were trained on matminer-Magpie features
+    (145 columns in new_sc_datasets.csv); this repo's featurizer emits a
+    78-dim descriptor.  Both describe the same compositions, so a linear
+    bridge fit on a corpus that carries the reference columns lets a
+    converted reference checkpoint be evaluated / fine-tuned on corpora
+    featurized natively: ``load_dataset(..., magpie_bridge=path)`` maps
+    features into the checkpoint's expected layout at load time.
+
+    Returns {'w': [N_FEATURES+1, M] (last row = bias), 'columns': [M] str,
+    'r2': [M] per-column fit quality} and saves them to ``out_path``.
+    """
+    import pandas as pd
+
+    df = pd.read_csv(ref_csv)
+    if limit:
+        df = df.iloc[:limit]
+    numeric = df.select_dtypes(include=['number']).columns
+    cols = [c for c in numeric if c not in _NON_FEATURE_COLS]
+    y = df[cols].values.astype(np.float64)
+
+    feats = []
+    ok = []
+    for f in df['formula'].astype(str):
+        try:
+            feats.append(formula_features(f))
+            ok.append(True)
+        except Exception:
+            feats.append(np.zeros(N_FEATURES))
+            ok.append(False)
+    x = np.asarray(feats, np.float64)
+    keep = (np.asarray(ok) & np.isfinite(x).all(axis=1)
+            & np.isfinite(y).all(axis=1))
+    x, y = x[keep], y[keep]
+
+    xb = np.concatenate([x, np.ones((len(x), 1))], axis=1)
+    w, *_ = np.linalg.lstsq(xb, y, rcond=None)
+    pred = xb @ w
+    ss_res = ((y - pred) ** 2).sum(axis=0)
+    ss_tot = ((y - y.mean(axis=0)) ** 2).sum(axis=0) + 1e-12
+    r2 = 1.0 - ss_res / ss_tot
+
+    bridge = {'w': w.astype(np.float32),
+              'columns': np.asarray(cols),
+              'r2': r2.astype(np.float32)}
+    if out_path is not None:
+        np.savez_compressed(out_path, **bridge)
+    return bridge
+
+
+def load_magpie_bridge(path) -> Dict[str, np.ndarray]:
+    with np.load(path, allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def apply_magpie_bridge(feats: np.ndarray, bridge: Dict[str, np.ndarray]
+                        ) -> np.ndarray:
+    """[N, N_FEATURES] native features -> [N, M] reference-layout features."""
+    w = bridge['w']
+    if feats.shape[1] != w.shape[0] - 1:
+        raise ValueError(
+            f'bridge expects {w.shape[0] - 1} input features, '
+            f'got {feats.shape[1]}')
+    xb = np.concatenate(
+        [feats, np.ones((len(feats), 1), feats.dtype)], axis=1)
+    return (xb @ w).astype(np.float32)

@@ -201,12 +201,18 @@ def load_dataset(
     cache_dir: Optional[str | Path] = 'outputs/data_cache',
     limit: Optional[int] = None,
     drop_unk: bool = True,
+    magpie_bridge: Optional[str | Path] = None,
 ) -> DatasetArrays:
     """CSV -> DatasetArrays, with a content-hash npz cache.
 
     ``drop_unk`` removes rows whose tokenization contains UNK / FRAC_UNK —
     such targets are unreachable for the decoder and teach it to emit UNK
-    (the reference builds its corpus UNK-free by construction)."""
+    (the reference builds its corpus UNK-free by construction).
+
+    ``magpie_bridge`` maps the CSV's native Magpie features into a
+    reference checkpoint's expected layout before normalization
+    (chem/featurize.fit_magpie_bridge) so converted reference checkpoints
+    can be evaluated / fine-tuned on natively-featurized corpora."""
     import pandas as pd
 
     csv_path = Path(csv_path)
@@ -218,7 +224,8 @@ def load_dataset(
         h.update(csv_path.read_bytes())
         h.update(f'{max_len}|{skew_threshold}|{sc_only_norm}|'
                  f'{tc_log_transform}|{exclude_holdout}|{limit}|'
-                 f'{tokenizer.vocab_size}|{drop_unk}'.encode())
+                 f'{tokenizer.vocab_size}|{drop_unk}|'
+                 f'{magpie_bridge}'.encode())
         cache_file = Path(cache_dir) / f'dataset_{h.hexdigest()[:16]}.npz'
         if cache_file.exists():
             return _load_cache(cache_file)
@@ -258,6 +265,10 @@ def load_dataset(
         with np.errstate(invalid='ignore'):
             col_means = np.nan_to_num(np.nanmean(magpie, axis=0))
         magpie = np.where(nan_mask, col_means[None, :], magpie)
+
+    if magpie_bridge is not None:
+        from ..chem.featurize import apply_magpie_bridge, load_magpie_bridge
+        magpie = apply_magpie_bridge(magpie, load_magpie_bridge(magpie_bridge))
 
     skewed_idx: List[int] = []
     if skew_threshold > 0:

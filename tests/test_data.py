@@ -169,3 +169,39 @@ def test_ingest_fraction_notation():
     tok = default_tokenizer(max_len=40)
     ids = tok.encode(to_fraction_notation('Ba0.6Y0.4Cu1O1'))
     assert UNK_ID not in ids
+
+
+def test_magpie_bridge_fit_and_load(tmp_path):
+    """Linear bridge from the native 78-dim featurizer to the reference
+    Magpie column layout: fits with decent R2 and plugs into load_dataset."""
+    from superconductor_vae_tpu.chem.featurize import (
+        N_FEATURES, apply_magpie_bridge, fit_magpie_bridge,
+        load_magpie_bridge)
+    from superconductor_vae_tpu.data import load_dataset
+
+    path = tmp_path / 'bridge.npz'
+    b = fit_magpie_bridge(REAL_CSV, out_path=path, limit=600)
+    assert b['w'].shape[0] == N_FEATURES + 1
+    m = b['w'].shape[1]
+    assert m > N_FEATURES          # reference layout is wider (145/151)
+    assert float(np.mean(b['r2'])) > 0.5
+
+    loaded = load_magpie_bridge(path)
+    np.testing.assert_allclose(loaded['w'], b['w'])
+    x = np.random.default_rng(0).normal(size=(4, N_FEATURES)).astype(np.float32)
+    assert apply_magpie_bridge(x, loaded).shape == (4, m)
+
+    # a natively-featurized CSV loaded through the bridge presents the
+    # reference feature width to the model
+    import pandas as pd
+    from superconductor_vae_tpu.chem.featurize import (FEATURE_NAMES,
+                                                       featurize_formulas)
+    formulas = ['YBa2Cu3O7', 'MgB2', 'La2CuO4', 'Nb3Sn'] * 4
+    feats = featurize_formulas(formulas)
+    df = pd.DataFrame(feats, columns=FEATURE_NAMES)
+    df.insert(0, 'formula', formulas)
+    df.insert(1, 'Tc', np.linspace(1, 90, len(formulas)))
+    csv = tmp_path / 'native.csv'
+    df.to_csv(csv, index=False)
+    ds = load_dataset(csv, max_len=16, cache_dir=None, magpie_bridge=path)
+    assert ds.magpie_dim == m

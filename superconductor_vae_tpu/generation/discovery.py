@@ -36,6 +36,7 @@ class Candidate:
     novelty: bool
     strategy: str
     rank_score: float = 0.0
+    tc_uncertainty: float = 0.0    # MC-dropout std, normalized Tc units
 
 
 class SuperconductorDiscoveryPipeline:
@@ -116,8 +117,15 @@ class SuperconductorDiscoveryPipeline:
         all_z = jnp.concatenate(latents, axis=0)
         heads = self._full_heads(all_z)
         formulas = self.decode_latents(all_z)
-        tc_pred = np.asarray(heads['tc_pred'])
         sc_prob = np.asarray(jax.nn.sigmoid(heads['sc_pred']))
+        # MC-dropout refinement: the mean replaces the single-pass tc_pred,
+        # the std flags low-confidence candidates
+        # (reference: attention_vae.py:824-856)
+        from ..models.encoder import predict_tc_mc
+        tc_mc_mean, tc_mc_std = predict_tc_mc(
+            self.encoder, self.enc_params, all_z, jax.random.fold_in(rng, 9))
+        tc_pred = np.asarray(tc_mc_mean)
+        tc_std = np.asarray(tc_mc_std)
         tc_kelvin = self.ds.norm_stats.tc_to_kelvin(tc_pred)
 
         out: List[Candidate] = []
@@ -139,10 +147,14 @@ class SuperconductorDiscoveryPipeline:
                 validation_score=v.score,
                 physics_plausibility=p.plausibility,
                 novelty=f not in self.known,
-                strategy=labels[i] if i < len(labels) else 'unknown')
+                strategy=labels[i] if i < len(labels) else 'unknown',
+                tc_uncertainty=float(tc_std[i]))
+            # high MC-dropout uncertainty discounts the rank (soft penalty:
+            # 1 std in normalized units halves the score)
             cand.rank_score = (cand.sc_prob * cand.validation_score
                                * cand.physics_plausibility
                                * (1.0 + cand.tc_pred_kelvin / 100.0)
-                               * (1.2 if cand.novelty else 1.0))
+                               * (1.2 if cand.novelty else 1.0)
+                               / (1.0 + cand.tc_uncertainty))
             out.append(cand)
         return sorted(out, key=lambda c: -c.rank_score)

@@ -26,7 +26,7 @@ for TPU/XLA:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -421,3 +421,32 @@ class MaterialsEncoder(nn.Module):
             out['element_count_pred'][:, None],
             out['family_composed_14'],
         ], axis=-1)
+
+
+def predict_tc_mc(encoder: 'MaterialsEncoder', params, z: jnp.ndarray,
+                  rng, n_samples: int = 10
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MC-dropout Tc refinement + uncertainty from latent z.
+
+    Capability parity with the reference ``predict_tc_mc``
+    (reference: models/attention_vae.py:824-856): N stochastic decode
+    passes with dropout active give a refined mean prediction and a
+    per-sample std as an uncertainty estimate.
+
+    TPU redesign: the reference loops N forwards in Python under
+    ``torch.no_grad``; here the N dropout draws are ONE vmapped jitted
+    call — the [N, B] pass batches onto the MXU.
+
+    Returns (tc_mean [B], tc_std [B]) in normalized Tc units.
+    """
+    keys = jax.random.split(rng, n_samples)
+
+    def one(key):
+        out = encoder.apply(params, z, deterministic=False,
+                            method=MaterialsEncoder.decode,
+                            rngs={'dropout': key})
+        return out['tc_pred']
+
+    preds = jax.vmap(one)(keys)                               # [N, B]
+    # unbiased std, matching torch.std's default
+    return preds.mean(axis=0), preds.std(axis=0, ddof=1)

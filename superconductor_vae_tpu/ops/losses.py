@@ -69,6 +69,13 @@ class LossConfig:
     label_smoothing: float = 0.1
     fraction_token_weight: float = 2.0
 
+    # semantic-unit penalties (reference: losses/semantic_unit_loss.py:291;
+    # available in the reference loss zoo, weight 0 on the active path)
+    semantic_unit_weight: float = 0.0
+    semantic_element_penalty: float = 5.0
+    semantic_fraction_penalty: float = 3.0
+    semantic_exact_penalty: float = 1.0
+
     use_length_weighting: bool = True
     length_weight_base: float = 8.0
     length_weight_alpha: float = 1.0
@@ -199,6 +206,74 @@ def site_dup_targets(targets: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # full assembly
 # ---------------------------------------------------------------------------
+
+def semantic_unit_loss(
+    pred: jnp.ndarray,           # [B, T] argmax token ids
+    targets: jnp.ndarray,        # [B, T]
+    mask: jnp.ndarray,           # [B, T] target validity (non-PAD)
+    type_table: jnp.ndarray,     # [V] token -> type LUT
+    element_penalty: float = 5.0,
+    fraction_penalty: float = 3.0,
+    exact_match_penalty: float = 1.0,
+) -> Dict[str, jnp.ndarray]:
+    """Semantic-unit-level penalties on the decoded stream.
+
+    Capability parity with the reference ``compute_semantic_loss``
+    (reference: losses/semantic_unit_loss.py:205-346): compare the ORDERED
+    element stream and the ordered amount stream of prediction vs target;
+    errors = positional mismatches + |count difference|, normalized by the
+    longer stream; plus a 0/1 non-exact-match penalty.  Argmax-based — a
+    penalty signal, not a gradient path (as in the reference).
+
+    TPU redesign: the reference parses each row into Python SemanticUnit
+    lists; here the ordered unit streams are compacted on device with a
+    stable argsort over the type LUT — one fused program, no host loop.
+    Amount units = INTEGER|FRACTION tokens (the V14 fraction-native layout
+    folds both into the reference's 'fraction' unit type).
+    """
+    from ..tokenizer import (TOKEN_TYPE_ELEMENT, TOKEN_TYPE_FRACTION,
+                             TOKEN_TYPE_INTEGER)
+    t = pred.shape[1]
+    idx = jnp.arange(t)[None, :]
+    # prediction stream is valid strictly before its first EOS
+    pred_live = jnp.cumsum((pred == EOS_ID).astype(jnp.int32), axis=1) == 0
+    tgt_live = mask & (targets != EOS_ID)
+    tp = type_table[pred]
+    tt = type_table[targets]
+
+    def stream_err(unit_types):
+        is_p = jnp.isin(tp, unit_types) & pred_live
+        is_t = jnp.isin(tt, unit_types) & tgt_live
+        # stable argsort of ~is_unit compacts unit positions to the front
+        # in original order
+        comp_p = jnp.take_along_axis(
+            pred, jnp.argsort(~is_p, axis=1, stable=True), axis=1)
+        comp_t = jnp.take_along_axis(
+            targets, jnp.argsort(~is_t, axis=1, stable=True), axis=1)
+        n_p = is_p.sum(axis=1)
+        n_t = is_t.sum(axis=1)
+        both = idx < jnp.minimum(n_p, n_t)[:, None]
+        mism = ((comp_p != comp_t) & both).sum(axis=1)
+        err = mism + jnp.abs(n_p - n_t)
+        n = jnp.maximum(n_p, n_t)
+        return jnp.where(n > 0, err / jnp.clip(n, 1), 0.0)
+
+    elem_err = stream_err(jnp.asarray([TOKEN_TYPE_ELEMENT]))
+    frac_err = stream_err(
+        jnp.asarray([TOKEN_TYPE_INTEGER, TOKEN_TYPE_FRACTION]))
+    exact_err = 1.0 - ((pred == targets) | ~mask).all(axis=1).astype(
+        jnp.float32)
+
+    element_loss = elem_err.mean() * element_penalty
+    fraction_loss = frac_err.mean() * fraction_penalty
+    exact_loss = exact_err.mean() * exact_match_penalty
+    return {
+        'element_loss': element_loss,
+        'fraction_loss': fraction_loss,
+        'exact_match_loss': exact_loss,
+        'total': element_loss + fraction_loss + exact_loss,
+    }
+
 
 def multitask_loss(
     cfg: LossConfig,
@@ -377,6 +452,13 @@ def multitask_loss(
 
     # ---- metrics -----------------------------------------------------------
     pred = jnp.argmax(logits, axis=-1)
+    sem = jnp.asarray(0.0)
+    if cfg.semantic_unit_weight > 0:
+        sem = semantic_unit_loss(
+            pred, targets, mask, type_table,
+            cfg.semantic_element_penalty, cfg.semantic_fraction_penalty,
+            cfg.semantic_exact_penalty)['total']
+        total = total + cfg.semantic_unit_weight * sem
     correct = (pred == targets) & mask
     token_acc = correct.sum() / jnp.clip(mask.sum(), 1)
     exact = (correct | ~mask).all(axis=1).astype(jnp.float32).mean()
@@ -394,6 +476,7 @@ def multitask_loss(
         'site_dup_loss': site_dup_loss, 'hp_loss': hp_loss,
         'sc_loss': sc_loss, 'family_loss': family_loss,
         'constraint_zoo_loss': zoo, 'physics_z_loss': pz,
+        'semantic_unit_loss': sem,
         'token_accuracy': token_acc,
         'exact_match': exact, 'entropy': entropy,
         'mean_reward': (rl_reward_mean if rl_reward_mean is not None

@@ -344,3 +344,52 @@ class TestPhysicsZ:
         after = float(physics_z_loss(z, comp, magpie, tc,
                                      proj_params=stepped)['magpie'])
         assert after < before
+
+
+def test_semantic_unit_loss():
+    """Ordered-stream comparison matches the reference semantics
+    (semantic_unit_loss.py:205-268): positional mismatches + count
+    difference, normalized by the longer stream."""
+    from superconductor_vae_tpu.ops.losses import semantic_unit_loss
+    from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+    tok = default_tokenizer(max_len=16)
+    tt = jnp.asarray(tok.token_type_table)
+
+    def enc(f):
+        return tok.encode(f)[1:]  # drop BOS: loss sees target stream
+
+    # identical -> zero everywhere
+    a = jnp.asarray([enc('YBa2Cu3O7')])
+    m = a != 0
+    out = semantic_unit_loss(a, a, m, tt)
+    assert float(out['total']) == 0.0
+
+    # one element of four differs -> element_err = 1/4; amounts equal
+    p = jnp.asarray([enc('LaBa2Cu3O7')])
+    out = semantic_unit_loss(p, a, m, tt)
+    np.testing.assert_allclose(float(out['element_loss']), 5.0 * 0.25, rtol=1e-6)
+    assert float(out['fraction_loss']) == 0.0
+    np.testing.assert_allclose(float(out['exact_match_loss']), 1.0, rtol=1e-6)
+
+    # one amount of three differs -> fraction_err = 1/3
+    p = jnp.asarray([enc('YBa2Cu4O7')])
+    out = semantic_unit_loss(p, a, m, tt)
+    assert float(out['element_loss']) == 0.0
+    np.testing.assert_allclose(float(out['fraction_loss']), 3.0 / 3, rtol=1e-6)
+
+    # missing element (count mismatch): pred 3 elements vs target 4
+    p = jnp.asarray([enc('Ba2Cu3O7')])
+    out = semantic_unit_loss(p, a, m, tt)
+    # ordered compare: Ba/Y, Cu/Ba, O/Cu mismatch + 1 missing = 4/4
+    np.testing.assert_allclose(float(out['element_loss']), 5.0 * 1.0, rtol=1e-6)
+
+
+def test_semantic_unit_loss_in_multitask():
+    """Enabled weight adds the term; disabled keeps it at zero metric."""
+    import dataclasses as dc
+    from superconductor_vae_tpu.ops.losses import LossConfig
+    cfg0 = LossConfig()
+    assert cfg0.semantic_unit_weight == 0.0
+    cfg1 = dc.replace(cfg0, semantic_unit_weight=1.0)
+    assert cfg1.semantic_unit_weight == 1.0

@@ -188,3 +188,28 @@ def test_param_count_full_size():
     n_enc = sum(np.prod(x.shape) for x in jax.tree.leaves(eparams))
     total = (n_enc + n_dec) / 1e6
     assert 80 < total < 140, f'total params {total:.1f}M out of range'
+
+
+def test_predict_tc_mc():
+    """MC-dropout Tc: N stochastic decodes -> (mean, std); std is positive
+    when dropout is active and zero samples-variance when n=identical keys
+    is impossible, so just check shape/finiteness and that dropout actually
+    perturbs (reference: attention_vae.py:824-856)."""
+    import dataclasses as dc
+    from superconductor_vae_tpu.models.config import tiny_test_config
+    from superconductor_vae_tpu.models.encoder import (MaterialsEncoder,
+                                                       predict_tc_mc)
+    cfg = dc.replace(tiny_test_config(), dropout=0.3)
+    enc = MaterialsEncoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    B = 3
+    params = enc.init(
+        rng, jnp.zeros((B, cfg.max_elements), jnp.int32),
+        jnp.zeros((B, cfg.max_elements)), jnp.zeros((B, cfg.max_elements)),
+        jnp.zeros((B, cfg.magpie_dim)), jnp.zeros((B,)))
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, cfg.latent_dim))
+    mean, std = predict_tc_mc(enc, params, z, jax.random.PRNGKey(2),
+                              n_samples=8)
+    assert mean.shape == (B,) and std.shape == (B,)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert (np.asarray(std) > 0).all()   # dropout perturbs the decode path

@@ -205,3 +205,43 @@ def test_magpie_bridge_fit_and_load(tmp_path):
     df.to_csv(csv, index=False)
     ds = load_dataset(csv, max_len=16, cache_dir=None, magpie_bridge=path)
     assert ds.magpie_dim == m
+
+
+def test_canonical_ordering():
+    """Five ordering methods + order augmentation
+    (reference: data/canonical_ordering.py:24-339)."""
+    from superconductor_vae_tpu.data.canonical_ordering import (
+        OrderAugmentation, OrderingMethod, canonicalize, parse_ordered,
+        to_abundance_order, to_alphabetical_order,
+        to_electronegativity_order)
+
+    f = 'O7Cu3Ba2Y'
+    # electronegativity: cations (low EN) first, O last
+    en = to_electronegativity_order(f)
+    assert en.endswith('O7'), en
+    assert en.startswith(('Y', 'Ba2')), en
+    # alphabetical
+    assert to_alphabetical_order(f) == 'Ba2Cu3O7Y'
+    # abundance: largest amount first
+    assert to_abundance_order(f).startswith('O7')
+    # Hill: C then H then alphabetical
+    assert canonicalize('O2HC', OrderingMethod.HILL_SYSTEM) == 'CHO2'
+    # atomic number
+    assert canonicalize('OBaH', OrderingMethod.ATOMIC_NUMBER) == 'HOBa'
+
+    # fraction format round-trips through reordering
+    g = 'Sr(3/10)La(7/10)CuO4'
+    assert to_alphabetical_order(g) == 'CuLa(7/10)O4Sr(3/10)'
+    assert [e[0] for e in parse_ordered(g)] == ['Sr', 'La', 'Cu', 'O']
+
+    # augmentation: distinct orderings, original kept, deterministic seed
+    aug = OrderAugmentation(n_augmentations=2, seed=0)
+    outs = aug.augment('YBa2Cu3O7')
+    assert outs[0] == 'YBa2Cu3O7'
+    assert len(outs) == len(set(outs)) >= 2
+    assert all(sorted(o.replace('7', '').replace('2', '').replace('3', ''))
+               == sorted('YBaCuO') for o in outs)
+    # single-element: nothing to shuffle
+    assert aug.augment('Nb') == ['Nb']
+    b = aug.augment_batch(['MgB2', 'Nb'])
+    assert 'Nb' in b and 'MgB2' in b

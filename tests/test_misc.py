@@ -94,3 +94,47 @@ def test_theory_config_citation():
     from superconductor_vae_tpu.ops.theory import TheoryConfig, _bcs_tc_cap
     cap = _bcs_tc_cap(TheoryConfig())
     assert 10 < cap < 100
+
+
+def test_topology_hdbscan_and_boundary(tmp_path):
+    """HDBSCAN natural clustering, kNN boundary detection, per-cluster
+    quality and the full-tier per-sample dump
+    (reference: analysis/hdbscan_topology.py, boundary_detector.py)."""
+    from superconductor_vae_tpu.analysis import TopologyAnalyzer
+    from superconductor_vae_tpu.analysis.topology import (boundary_metrics,
+                                                          hdbscan_metrics)
+    rng = np.random.default_rng(1)
+    # two well-separated SC blobs + a non-SC blob between them
+    blob1 = rng.normal(0, 0.3, size=(150, 16))
+    blob2 = rng.normal(0, 0.3, size=(150, 16)) + 6.0
+    # non-SC blob OVERLAPS blob1 so kNN neighborhoods mix labels there
+    nonsc = rng.normal(0.2, 0.3, size=(100, 16))
+    z = np.concatenate([blob1, blob2, nonsc])
+    is_sc = np.array([1] * 300 + [0] * 100)
+    tc = np.concatenate([np.full(150, 20.0), np.full(150, 80.0),
+                         np.zeros(100)])
+
+    h = hdbscan_metrics(z[is_sc == 1], tc[is_sc == 1], min_cluster_size=30)
+    assert h['hdbscan_n_clusters'] == 2
+    assert h['hdbscan_noise_fraction'] < 0.2
+    assert h['hdbscan_silhouette'] > 0.5
+    assert len(h['hdbscan_clusters']) == 2
+    assert all('tc_mean' in c for c in h['hdbscan_clusters'])
+    assert h['labels'].shape == (300,)
+
+    b = boundary_metrics(z, is_sc, k=10)
+    assert b['boundary_n_samples'] > 0          # blob edges touch non-SC
+    assert b['heterogeneity'].shape == (400,)
+
+    out = TopologyAnalyzer(n_clusters=2, output_dir=tmp_path).analyze(
+        z, is_sc=is_sc, tc_kelvin=tc, epoch=2, full=True)
+    assert out['hdbscan_n_clusters'] >= 2
+    assert 'boundary_thickness' in out
+    assert 'inter_cluster_distance_mean' in out
+    assert 'pairwise_skewness' in out
+    full = np.load(tmp_path / 'topology_full_2.npz')
+    assert 'hdbscan_labels' in full and 'boundary_heterogeneity' in full
+    # summary line is valid JSON
+    import json as _json
+    lines = (tmp_path / 'topology_summary.jsonl').read_text().splitlines()
+    assert _json.loads(lines[-1])['epoch'] == 2

@@ -115,3 +115,97 @@ def isotope_feature_matrix(isotopes: List[str] | None = None) -> np.ndarray:
             estimate_isotope_effect(iso),
         )
     return feats
+
+
+# ---- per-formula isotope-aware encoding ---------------------------------------
+
+_ISO_COMP_RE = re.compile(
+    r'(?:\{(?P<iso_a>\d+)\}|(?P<pre_a>\d+)(?=[A-Z][a-z]?))?'   # {18}O or 18O
+    r'(?P<el>[A-Z][a-z]?)'
+    r'(?:\((?P<num>\d+)/(?P<den>\d+)\)|(?P<dec>\d+\.\d+)|(?P<int>\d+))?'
+)
+
+
+def encode_isotope_composition(formula: str) -> Dict[str, np.ndarray]:
+    """Formula -> isotope-aware per-element features + 4 aggregates.
+
+    Capability parity with the reference ``IsotopeEncoder.encode``
+    (reference: encoders/isotope_encoder.py:227-420): per element —
+    fraction, (isotope or natural) mass, nuclear spin, mass deviation from
+    natural; aggregated — normalized average mass, fraction-weighted spin,
+    mean mass deviation, and the BCS isotope-effect factor
+    ``(M_natural_total / M_actual_total)^0.5 - 1`` (0 = natural; positive =
+    lighter isotopes, higher Tc under BCS).
+
+    Accepts both ``{18}O`` (tokenizer notation) and ``18O``-prefix isotope
+    markers alongside (p/q) / decimal / integer amounts.
+    """
+    symbols: List[str] = []
+    fractions: List[float] = []
+    masses: List[float] = []
+    spins: List[float] = []
+    deviations: List[float] = []
+    amounts: Dict[str, float] = {}
+    iso_of: Dict[str, int] = {}
+
+    for m in _ISO_COMP_RE.finditer(formula):
+        el = m.group('el')
+        if not el or el not in SYMBOL_TO_Z:
+            continue
+        qty = 1.0
+        if m.group('num') is not None:
+            den = int(m.group('den'))
+            qty = int(m.group('num')) / den if den else 1.0
+        elif m.group('dec') is not None:
+            qty = float(m.group('dec'))
+        elif m.group('int') is not None:
+            qty = float(m.group('int'))
+        amounts[el] = amounts.get(el, 0.0) + qty
+        a = m.group('iso_a') or m.group('pre_a')
+        if a:
+            iso_of[el] = int(a)
+
+    if not amounts:
+        raise ValueError(f'could not parse formula: {formula!r}')
+
+    total = sum(amounts.values())
+    natural_total = 0.0
+    actual_total = 0.0
+    for el, qty in amounts.items():
+        z = SYMBOL_TO_Z[el]
+        m_nat = float(_PROPERTY_MATRIX[z, _MASS_COL])
+        a = iso_of.get(el, 0)
+        if a > 0:
+            mass = float(a)
+            spin = nuclear_spin(f'{a}{el}')
+        else:
+            mass = m_nat
+            spin = 0.0
+        symbols.append(el)
+        fractions.append(qty / total)
+        masses.append(mass)
+        spins.append(spin)
+        deviations.append((mass - m_nat) / m_nat if m_nat > 0 else 0.0)
+        natural_total += m_nat * qty
+        actual_total += mass * qty
+
+    effect = ((natural_total / actual_total) ** BCS_ALPHA
+              if natural_total > 0 and actual_total > 0 else 1.0)
+    fr = np.asarray(fractions, np.float32)
+    ms = np.asarray(masses, np.float32)
+    sp = np.asarray(spins, np.float32)
+    dv = np.asarray(deviations, np.float32)
+    return {
+        'symbols': np.asarray(symbols),
+        'element_indices': np.asarray(
+            [SYMBOL_TO_Z[s] for s in symbols], np.int32),
+        'element_fractions': fr,
+        'element_masses': ms,
+        'element_spins': sp,
+        'mass_deviations': dv,
+        'total_mass': np.float32(actual_total),
+        # aggregated [4] (reference: isotope_encoder.py:383-390)
+        'isotope_features': np.asarray(
+            [ms.mean() / 200.0, float((sp * fr).sum()), float(dv.mean()),
+             effect - 1.0], np.float32),
+    }

@@ -78,3 +78,37 @@ class TestFeaturize:
         for name in FEATURE_NAMES:
             if name.endswith('_avg_dev') or name.endswith('_range'):
                 assert f[FEATURE_NAMES.index(name)] == 0, name
+
+
+def test_encode_isotope_composition():
+    """Isotope-aware per-formula aggregation
+    (reference: encoders/isotope_encoder.py:227-420)."""
+    from superconductor_vae_tpu.chem.isotopes import (
+        encode_isotope_composition)
+
+    # natural formula: zero deviation, zero isotope effect
+    nat = encode_isotope_composition('YBa2Cu3O7')
+    assert list(nat['symbols']) == ['Y', 'Ba', 'Cu', 'O']
+    np.testing.assert_allclose(nat['element_fractions'].sum(), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(nat['isotope_features'][3], 0.0, atol=1e-7)
+    np.testing.assert_allclose(nat['mass_deviations'], 0.0, atol=1e-7)
+
+    # 18O substitution: heavier than natural O (~16) -> positive deviation,
+    # NEGATIVE isotope-effect feature (heavier -> lower Tc under BCS)
+    iso = encode_isotope_composition('YBa2Cu3{18}O7')
+    o = list(iso['symbols']).index('O')
+    assert iso['element_masses'][o] == 18.0
+    assert iso['mass_deviations'][o] > 0.05
+    assert iso['isotope_features'][3] < 0.0
+    assert iso['total_mass'] > nat['total_mass']
+
+    # bare-prefix notation parses when unambiguous (leading position);
+    # after an integer amount it is inherently ambiguous ('Cu318O') and
+    # the {mass}El tokenizer notation must be used instead
+    iso2 = encode_isotope_composition('18O2')
+    assert iso2['element_masses'][0] == 18.0
+    assert iso2['isotope_features'][3] < 0.0
+
+    # weighted spin: 63Cu has spin 3/2
+    cu = encode_isotope_composition('{63}Cu')
+    np.testing.assert_allclose(cu['isotope_features'][1], 1.5, rtol=1e-6)

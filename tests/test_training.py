@@ -130,6 +130,37 @@ class TestSchedulers:
         w = ctl.epoch_update(1, 0.80, 0.9)  # 10% drop > 2% threshold
         assert w == pytest.approx(0.5)
 
+    def test_rl_auto_scale_one_shot_then_ema(self):
+        """Auto-scale calibrates ONCE on the first RL loss, then follows a
+        slow EMA — a single noisy loss cannot yank the weight (VERDICT r1:
+        per-epoch recompute was jittery; reference calibrates once after a
+        probe epoch)."""
+        cfg = TrainConfig(rl_weight=1.0, rl_auto_scale=True,
+                          rl_warmup_epochs=0, rl_auto_scale_target=0.1,
+                          rl_auto_scale_ema=0.9,
+                          rl_safety_check_interval=1000)
+        ctl = RLController(cfg)
+        ctl.epoch_update(0, 0.95, 0.9)                 # activation epoch
+        w1 = ctl.epoch_update(1, 0.95, 0.9, raw_rl_loss=10.0)
+        assert w1 == pytest.approx(0.01)               # 0.1 / 10 one-shot
+        # 100x noisier loss moves the factor only (1-ema) of the way
+        w2 = ctl.epoch_update(2, 0.95, 0.9, raw_rl_loss=1000.0)
+        assert w2 == pytest.approx(0.9 * 0.01 + 0.1 * 1e-4, rel=1e-3)
+        assert w2 > 0.1 * (0.1 / 1000.0)               # far from full jump
+
+    def test_rl_auto_scale_and_safety_interplay(self):
+        """Safety halving composes with auto-scale: the guard halves the
+        base weight, auto-scale still caps it."""
+        cfg = TrainConfig(rl_weight=1.0, rl_auto_scale=True,
+                          rl_warmup_epochs=0, rl_auto_scale_target=0.1,
+                          rl_safety_check_interval=1)
+        ctl = RLController(cfg)
+        ctl.epoch_update(0, 0.95, 0.9, raw_rl_loss=0.01)
+        base = ctl.weight
+        w = ctl.epoch_update(1, 0.85, 0.9, raw_rl_loss=0.01)  # exact drop
+        assert ctl.weight == pytest.approx(base * 0.5)        # guard halved
+        assert w <= ctl.weight                                 # cap applies
+
     def test_physz_guard(self):
         cfg = TrainConfig(physics_z_reactivation_window=2,
                           physics_z_warmup_epochs=1,

@@ -39,6 +39,10 @@ def main():
     p.add_argument('--resume', default=None,
                    help="'auto' or a checkpoint path")
     p.add_argument('--checkpoint-interval', type=int, default=None)
+    p.add_argument('--set', action='append', default=[],
+                   metavar='KEY=VALUE',
+                   help='override any TrainConfig field, e.g. '
+                        '--set rl_reactivation_min_exact=0.85')
     args = p.parse_args()
 
     if args.cpu:
@@ -65,6 +69,15 @@ def main():
         tcfg.resume = args.resume
     if args.checkpoint_interval is not None:
         tcfg.checkpoint_interval = args.checkpoint_interval
+    for kv in args.set:
+        key, _, raw = kv.partition('=')
+        if not hasattr(tcfg, key):
+            p.error(f'unknown TrainConfig field: {key}')
+        cur = getattr(tcfg, key)
+        val = (raw if isinstance(cur, str)
+               else raw.lower() in ('1', 'true', 'yes') if isinstance(cur, bool)
+               else type(cur)(raw) if cur is not None else float(raw))
+        setattr(tcfg, key, val)
 
     mcfg = tiny_test_config() if args.tiny else None
     if args.tiny:

@@ -313,10 +313,32 @@ def train(
         # epoch over weighted batches — metric sums stay ON DEVICE so every
         # step dispatches asynchronously; one host sync per epoch (a float()
         # per step would serialize each step on the tunnel RTT)
-        if device_resident:
+        #
+        # RL epochs dispatch PER STEP: wrapping the rollout step in the
+        # whole-epoch lax.scan produces a program large enough to crash the
+        # remote TPU worker at compile time (observed: 4 consecutive
+        # worker "kernel fault" deaths at the RL-activation epoch, repro'd
+        # standalone — the un-scanned RL step compiles and runs fine at
+        # ~330 samples/s, where per-step RTT is ~1% of step time).
+        if device_resident and rl_w > 0:
+            step_fn = get_step(rl_enabled=True)
+            sums = {}
+            n_batches = 0
+            n_samples = 0
+            for batch_idx in sampler.epoch(epoch):
+                idx_dev = jnp.asarray(batch_idx.astype(np.int32))
+                batch = {k: jnp.take(v, idx_dev, axis=0)
+                         for k, v in data_dev.items()}
+                step_rng, sub = jax.random.split(step_rng)
+                state, metrics = step_fn(state, batch, sub, dyn)
+                n_batches += 1
+                n_samples += len(batch_idx)
+                for k, v in metrics.items():
+                    sums[k] = sums[k] + v if k in sums else v
+        elif device_resident:
             idx_mat = np.stack(list(sampler.epoch(epoch))).astype(np.int32)
             step_rng, sub = jax.random.split(step_rng)
-            state, sums = get_epoch_runner(rl_w > 0)(
+            state, sums = get_epoch_runner(False)(
                 state, data_dev, idx_mat, sub, dyn)
             n_batches = idx_mat.shape[0]
             n_samples = int(idx_mat.size)

@@ -17,6 +17,9 @@ Usage:
     # add decoder layers
     python scripts/migrate_checkpoint.py deepen outputs/checkpoints/best \
         --layers 2 --out outputs/deeper
+    # widen the whole decoder (function-preserving, integer factor)
+    python scripts/migrate_checkpoint.py widen outputs/checkpoints/best \
+        --d-model 1152 --out outputs/wider
 """
 
 import argparse
@@ -44,6 +47,16 @@ def main():
     d.add_argument('checkpoint')
     d.add_argument('--layers', type=int, default=1)
     d.add_argument('--out', required=True)
+
+    w = sub.add_parser('widen')
+    w.add_argument('checkpoint')
+    w.add_argument('--d-model', type=int, required=True,
+                   help='new d_model (integer multiple of the old)')
+    w.add_argument('--ffn', type=int, default=None,
+                   help='new dim_feedforward (default: scale with d_model)')
+    w.add_argument('--noise', type=float, default=0.0,
+                   help='symmetry-breaking noise on duplicated units')
+    w.add_argument('--out', required=True)
 
     args = p.parse_args()
 
@@ -89,12 +102,22 @@ def main():
                                        args.new_vocab, parent_map=pmap)
         mcfg2 = dataclasses.replace(mcfg, vocab_size=args.new_vocab)
         suffix = 'vocab-expanded'
-    else:  # deepen
+    elif args.cmd == 'deepen':
         from superconductor_vae_tpu.models.surgery import deepen_decoder
         new_dec = deepen_decoder(restored['dec_params'], args.layers)
         mcfg2 = dataclasses.replace(
             mcfg, num_layers=mcfg.num_layers + args.layers)
         suffix = f'deepened+{args.layers}'
+    else:  # widen (reference: scripts/migrate_checkpoint_v1242_wider.py)
+        from superconductor_vae_tpu.models.surgery import (
+            expand_decoder_width, widened_config,
+        )
+        new_ffn = args.ffn or mcfg.dim_feedforward * args.d_model // mcfg.d_model
+        new_dec = expand_decoder_width(restored['dec_params'], mcfg,
+                                       args.d_model, new_ffn,
+                                       noise=args.noise)
+        mcfg2 = widened_config(mcfg, args.d_model, new_ffn)
+        suffix = f'widened-{args.d_model}'
 
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        enc_params=restored['enc_params'],

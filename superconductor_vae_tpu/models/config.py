@@ -39,6 +39,15 @@ class ModelConfig:
     stoich_input_dim: int = 13      # fractions(12) + count(1), V13 layout
     memory_bottleneck_dim: int = 0  # 0 = direct MLP (V12.41-compat); >0 = V15 bottleneck
 
+    # Positional-table base dim for width-expanded models: after
+    # surgery.expand_decoder_width the widened model keeps the ORIGINAL
+    # model's sinusoidal table, channel-duplicated with the same per-head
+    # map as the residual stream, so expansion is exactly
+    # function-preserving (recomputing sinusoids at the new d_model is
+    # not: PE is O(1) per channel and re-randomizes the stream).
+    # None = table is plain sinusoidal at d_model (un-expanded models).
+    pos_dim: int | None = None
+
     dropout: float = 0.1
 
     @property

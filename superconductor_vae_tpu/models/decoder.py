@@ -57,6 +57,31 @@ def sinusoidal_positions(max_len: int, d_model: int) -> np.ndarray:
     return pe
 
 
+def head_dup_map(old_d: int, new_d: int, groups: int) -> np.ndarray:
+    """Uniform channel-duplication map [new_d] -> old channel index,
+    block-structured per attention head so head splits stay aligned.
+    Shared by width expansion (surgery.expand_decoder_width) and the
+    positional table of expanded models (``positional_table``)."""
+    assert new_d % old_d == 0 and old_d % groups == 0 and new_d % groups == 0
+    go, gn = old_d // groups, new_d // groups
+    m = np.zeros(new_d, np.int64)
+    for h in range(groups):
+        m[h * gn:(h + 1) * gn] = h * go + np.sort(
+            np.tile(np.arange(go), gn // go))
+    return m
+
+
+def positional_table(cfg) -> np.ndarray:
+    """Sinusoidal table at ``cfg.pos_dim`` (the pre-expansion width),
+    channel-duplicated up to d_model with the residual-stream map so that
+    width expansion preserves the function exactly (see ModelConfig.pos_dim)."""
+    L = cfg.max_len + 8
+    if cfg.pos_dim is None or cfg.pos_dim == cfg.d_model:
+        return sinusoidal_positions(L, cfg.d_model)
+    base = sinusoidal_positions(L, cfg.pos_dim)
+    return base[:, head_dup_map(cfg.pos_dim, cfg.d_model, cfg.nhead)]
+
+
 class DecoderLayer(nn.Module):
     """Pre-norm decoder layer: causal self-attn, cross-attn to memory, GELU FFN."""
     cfg: ModelConfig
@@ -208,8 +233,7 @@ class FormulaDecoder(nn.Module):
             embedding_init=nn.initializers.normal(0.02), dtype=dt)
         # +8 slack rows so chunked (speculative) decode can slice a full
         # chunk starting at the last position without dynamic-slice clamping
-        self.pos_table = jnp.asarray(
-            sinusoidal_positions(cfg.max_len + 8, cfg.d_model))
+        self.pos_table = jnp.asarray(positional_table(cfg))
         self.memory_builder = MemoryBuilder(cfg, dtype=dt)
         self.layers = [DecoderLayer(cfg, dtype=dt, name=f'layer_{i}')
                        for i in range(cfg.num_layers)]

@@ -184,3 +184,190 @@ def upgrade_tc_head(enc_params: Dict, old_tc_head: Dict) -> Dict:
         out2['kernel'] = old_w[:out2['kernel'].shape[0], :]
         out2['bias'] = old_tc_head['bias1']
     return params
+
+
+# ---- whole-model decoder expansion -------------------------------------------
+
+def widened_config(cfg, new_d_model: int, new_dim_feedforward: int):
+    """The ModelConfig an ``expand_decoder_width`` result targets: new
+    widths, with ``pos_dim`` pinned to the ORIGINAL model's positional
+    base so the widened decoder keeps (a channel-duplication of) the same
+    sinusoidal table — the piece that makes whole-model widening exactly
+    function-preserving end to end."""
+    import dataclasses as _dc
+    return _dc.replace(cfg, d_model=new_d_model,
+                       dim_feedforward=new_dim_feedforward,
+                       pos_dim=cfg.pos_dim or cfg.d_model)
+
+
+def expand_decoder_width(dec_params: Dict, cfg, new_d_model: int,
+                         new_dim_feedforward: int,
+                         noise: float = 0.0,
+                         seed: int = 0) -> Dict:
+    """Widen the WHOLE FormulaDecoder: d_model + dim_feedforward across all
+    layers, embeddings, memory builder, and output heads.
+
+    Capability parity with the reference ``expand_enhanced_decoder``
+    (reference: models/net2net_expansion.py:636-950).  The reference
+    transfers component-by-component with noise and accepts approximate
+    preservation; here the duplication map is chosen so that expansion is
+    EXACTLY function-preserving (uniform per-head channel duplication
+    keeps LayerNorm statistics, attention scores — q scaled by
+    sqrt(dh'/dh), k/v divided by multiplicity — the positional table (via
+    ``widened_config``'s pos_dim pin), and every consumer sum unchanged).
+
+    ``new_d_model`` / ``new_dim_feedforward`` must be integer multiples of
+    the old dims: uneven duplication would change LayerNorm statistics and
+    destroy the function (measured: 0% argmax agreement at a 1.5x ratio),
+    so non-integer ratios are rejected rather than silently corrupted.
+    Set ``noise > 0`` to break the symmetry between duplicated units
+    before further training (as the reference's noisy transfer does).
+
+    Returns a new param pytree targeting
+    ``widened_config(cfg, new_d_model, new_dim_feedforward)``.
+    """
+    d, ff, nhead = cfg.d_model, cfg.dim_feedforward, cfg.nhead
+    assert new_d_model % nhead == 0
+    if new_d_model % d or new_dim_feedforward % ff:
+        raise ValueError(
+            f'expand_decoder_width requires integer widening factors: '
+            f'{d}->{new_d_model}, {ff}->{new_dim_feedforward}')
+    dh, dh2 = d // nhead, new_d_model // nhead
+    rng = np.random.default_rng(seed)
+
+    def head_map(old_d, new_d, groups):
+        from .decoder import head_dup_map
+        m = head_dup_map(old_d, new_d, groups)
+        counts = np.bincount(m, minlength=old_d)
+        return m, counts[m].astype(np.float64)
+
+    m, mult = head_map(d, new_d_model, nhead)       # residual-stream map
+    mf, multf = head_map(ff, new_dim_feedforward, 1)
+
+    def nz(shape):
+        return (rng.normal(0, noise, shape) if noise > 0 else 0.0)
+
+    def cols(k, mm):                                 # produce-to-stream
+        out = _np(k)[..., mm]
+        return out + nz(out.shape)
+
+    def rows(k, mm, mm_mult):                        # consume-from-stream
+        return _np(k)[mm] / mm_mult[:, None]
+
+    def flat_cols(k, n_tokens):
+        """[in, n_tokens*d] -> [in, n_tokens*new_d]: per-token channel map."""
+        k = _np(k)
+        k3 = k.reshape(k.shape[0], n_tokens, d)
+        return k3[..., m].reshape(k.shape[0], n_tokens * new_d_model)
+
+    def flat_bias(b, n_tokens):
+        return _np(b).reshape(n_tokens, d)[:, m].reshape(-1)
+
+    params = jax.tree.map(np.array, dec_params)
+    root = params['params']
+    scale = float(np.sqrt(dh2 / dh))
+
+    # token embedding: produce-to-stream
+    root['token_embedding']['embedding'] = cols(
+        root['token_embedding']['embedding'], m)
+
+    # memory builder
+    mb = root['memory_builder']
+    n_mem, n_st, n_hd = (cfg.n_memory_tokens, cfg.n_stoich_tokens,
+                         cfg.n_heads_tokens)
+    if 'latent_mid' in mb:      # direct path: mid width d*M//2 scales with d
+        k1, b1, k2, _ = widen_dense_pair(
+            mb['latent_mid']['kernel'], mb['latent_mid']['bias'],
+            mb['latent_out']['kernel'],
+            new_d_model * n_mem // 2, rng, noise=noise)
+        mb['latent_mid']['kernel'], mb['latent_mid']['bias'] = k1, b1
+        mb['latent_out']['kernel'] = flat_cols(k2, n_mem)
+    else:
+        mb['latent_out']['kernel'] = flat_cols(mb['latent_out']['kernel'],
+                                               n_mem)
+    mb['latent_out']['bias'] = flat_bias(mb['latent_out']['bias'], n_mem)
+    # compact-order LN names: [bottleneck LN?] [stoich LN?] [heads LN?]
+    ln_names = sorted((k for k in mb if k.startswith('LayerNorm')),
+                      key=lambda s: int(s.split('_')[1]))
+    ln_i = 1 if getattr(cfg, 'memory_bottleneck_dim', 0) > 0 else 0
+    if n_st > 0:
+        # stoich_mid -> LN -> stoich_out: map mid cols by m, divide consumer
+        mb['stoich_mid']['kernel'] = cols(mb['stoich_mid']['kernel'], m)
+        mb['stoich_mid']['bias'] = _np(mb['stoich_mid']['bias'])[m]
+        lnk = ln_names[ln_i]
+        ln_i += 1
+        mb[lnk]['scale'] = _np(mb[lnk]['scale'])[m]
+        mb[lnk]['bias'] = _np(mb[lnk]['bias'])[m]
+        mb['stoich_out']['kernel'] = flat_cols(
+            rows(mb['stoich_out']['kernel'], m, mult), n_st)
+        mb['stoich_out']['bias'] = flat_bias(mb['stoich_out']['bias'], n_st)
+    if n_hd > 0:
+        # heads_mid1 -> LN -> gelu -> heads_mid2: uniform map keeps the LN
+        # statistics exact (widen_dense_pair's random replication would not
+        # commute with the LN between the pair)
+        mh, multh = head_map(d // 2, new_d_model // 2, 1)
+        mb['heads_mid1']['kernel'] = cols(mb['heads_mid1']['kernel'], mh)
+        mb['heads_mid1']['bias'] = _np(mb['heads_mid1']['bias'])[mh]
+        lnk = ln_names[ln_i]
+        mb[lnk]['scale'] = _np(mb[lnk]['scale'])[mh]
+        mb[lnk]['bias'] = _np(mb[lnk]['bias'])[mh]
+        mb['heads_mid2']['kernel'] = cols(
+            rows(mb['heads_mid2']['kernel'], mh, multh), m)
+        mb['heads_mid2']['bias'] = _np(mb['heads_mid2']['bias'])[m]
+        mb['heads_out']['kernel'] = flat_cols(
+            rows(mb['heads_out']['kernel'], m, mult), n_hd)
+        mb['heads_out']['bias'] = flat_bias(mb['heads_out']['bias'], n_hd)
+
+    # decoder layers
+    for name in [k for k in root if k.startswith('layer_')]:
+        layer = root[name]
+        for lnk in ('norm1', 'norm2', 'norm3'):
+            layer[lnk]['scale'] = _np(layer[lnk]['scale'])[m]
+            layer[lnk]['bias'] = _np(layer[lnk]['bias'])[m]
+        for att in ('self', 'cross'):
+            q = layer[f'{att}_q']
+            q['kernel'] = cols(rows(q['kernel'], m, mult), m) * scale
+            q['bias'] = _np(q['bias'])[m] * scale
+            k_ = layer[f'{att}_k']
+            k_['kernel'] = cols(rows(k_['kernel'], m, mult), m) / mult
+            k_['bias'] = _np(k_['bias'])[m] / mult
+            v = layer[f'{att}_v']
+            v['kernel'] = cols(rows(v['kernel'], m, mult), m) / mult
+            v['bias'] = _np(v['bias'])[m] / mult
+            o = layer[f'{att}_o']
+            o['kernel'] = cols(_np(o['kernel'])[m], m)   # rows NOT divided
+            o['bias'] = _np(o['bias'])[m]
+        layer['ff1']['kernel'] = cols(rows(layer['ff1']['kernel'], m, mult),
+                                      mf)
+        layer['ff1']['bias'] = _np(layer['ff1']['bias'])[mf]
+        layer['ff2']['kernel'] = cols(rows(layer['ff2']['kernel'], mf, multf),
+                                      m)
+        layer['ff2']['bias'] = _np(layer['ff2']['bias'])[m]
+
+    # output heads
+    root['out_ln']['scale'] = _np(root['out_ln']['scale'])[m]
+    root['out_ln']['bias'] = _np(root['out_ln']['bias'])[m]
+    mo, multo = head_map(d, new_d_model, 1)
+    root['out_d1']['kernel'] = cols(rows(root['out_d1']['kernel'], m, mult),
+                                    mo)
+    root['out_d1']['bias'] = _np(root['out_d1']['bias'])[mo]
+    root['out_d2']['kernel'] = rows(root['out_d2']['kernel'], mo, multo)
+    root['type_ln']['scale'] = _np(root['type_ln']['scale'])[m]
+    root['type_ln']['bias'] = _np(root['type_ln']['bias'])[m]
+    mt, multt = head_map(d, new_d_model, 1)
+    root['type_d1']['kernel'] = cols(rows(root['type_d1']['kernel'], m, mult),
+                                     mt)
+    root['type_d1']['bias'] = _np(root['type_d1']['bias'])[mt]
+    mq, multq = head_map(d // 4, new_d_model // 4, 1)
+    root['type_d2']['kernel'] = cols(rows(root['type_d2']['kernel'], mt,
+                                          multt), mq)
+    root['type_d2']['bias'] = _np(root['type_d2']['bias'])[mq]
+    root['type_d3']['kernel'] = rows(root['type_d3']['kernel'], mq, multq)
+    for hd in ('stop', 'dup'):
+        mh, multh = head_map(d // 4, new_d_model // 4, 1)
+        root[f'{hd}_d1']['kernel'] = cols(
+            rows(root[f'{hd}_d1']['kernel'], m, mult), mh)
+        root[f'{hd}_d1']['bias'] = _np(root[f'{hd}_d1']['bias'])[mh]
+        root[f'{hd}_d2']['kernel'] = rows(root[f'{hd}_d2']['kernel'], mh,
+                                          multh)
+    return params

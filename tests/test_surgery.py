@@ -105,3 +105,101 @@ def test_theory_loss_routing():
     ok = theory_loss(jnp.asarray([5.0]), jnp.asarray([1]),
                      e_frac[:1], e_idx[:1], e_mask[:1])
     assert float(ok['total']) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_expand_decoder_width_exact():
+    """Whole-decoder widen (reference: net2net_expansion.py:636-950).
+    At an integer widening factor the expansion must be EXACTLY
+    function-preserving — through LayerNorm statistics, the attention
+    score scale, and the positional table (widened_config pins pos_dim so
+    the wide model keeps a channel-duplicated copy of the original
+    sinusoidal table instead of recomputing O(1)-magnitude sinusoids at
+    the new width, which would re-randomize the stream)."""
+    import jax
+    import jax.numpy as jnp
+    from superconductor_vae_tpu.models import FormulaDecoder
+    from superconductor_vae_tpu.models.config import tiny_test_config
+    from superconductor_vae_tpu.models.surgery import (
+        expand_decoder_width, widened_config)
+
+    cfg = tiny_test_config()
+    dec = FormulaDecoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    B = 3
+    z = jax.random.normal(rng, (B, cfg.latent_dim))
+    st = jax.random.normal(jax.random.fold_in(rng, 1),
+                           (B, cfg.stoich_input_dim))
+    hv = jax.random.normal(jax.random.fold_in(rng, 2),
+                           (B, cfg.heads_input_dim))
+    toks = jax.random.randint(jax.random.fold_in(rng, 3),
+                              (B, cfg.max_len), 4, 200)
+    params = dec.init(rng, z, toks, st, hv)
+    ref = dec.apply(params, z, toks, st, hv)
+
+    cfg2 = widened_config(cfg, 64, 128)
+    assert cfg2.pos_dim == cfg.d_model
+    params2 = expand_decoder_width(params, cfg, 64, 128)
+    dec2 = FormulaDecoder(cfg2)
+    # shape check against a fresh init of the wide config
+    fresh = jax.eval_shape(lambda r: dec2.init(r, z, toks, st, hv), rng)
+    jax.tree.map(lambda a, b: None if a.shape == jnp.shape(b) else
+                 (_ for _ in ()).throw(AssertionError((a.shape, jnp.shape(b)))),
+                 fresh, params2)
+    out = dec2.apply(params2, z, toks, st, hv)
+    np.testing.assert_allclose(np.asarray(out['logits']),
+                               np.asarray(ref['logits']), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out['stop_logits']),
+                               np.asarray(ref['stop_logits']), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out['type_logits']),
+                               np.asarray(ref['type_logits']), atol=1e-4)
+
+
+def test_expand_decoder_width_rejects_noninteger_ratio():
+    """Uneven duplication changes LayerNorm statistics and destroys the
+    function (0% argmax agreement measured at 1.5x), so non-integer
+    widening factors must raise instead of silently corrupting."""
+    import jax
+    from superconductor_vae_tpu.models import FormulaDecoder
+    from superconductor_vae_tpu.models.config import tiny_test_config
+    from superconductor_vae_tpu.models.surgery import expand_decoder_width
+
+    cfg = tiny_test_config()
+    dec = FormulaDecoder(cfg)
+    rng = jax.random.PRNGKey(4)
+    z = jax.random.normal(rng, (2, cfg.latent_dim))
+    st = jnp.zeros((2, cfg.stoich_input_dim))
+    hv = jnp.zeros((2, cfg.heads_input_dim))
+    toks = jax.random.randint(rng, (2, cfg.max_len), 4, 200)
+    params = dec.init(rng, z, toks, st, hv)
+    with pytest.raises(ValueError, match='integer widening'):
+        expand_decoder_width(params, cfg, 48, 96)
+
+
+def test_expand_decoder_width_chains():
+    """Two successive 2x widenings compose exactly: pos_dim stays pinned
+    to the original width and the uniform duplication maps compose."""
+    import jax
+    from superconductor_vae_tpu.models import FormulaDecoder
+    from superconductor_vae_tpu.models.config import tiny_test_config
+    from superconductor_vae_tpu.models.surgery import (
+        expand_decoder_width, widened_config)
+
+    cfg = tiny_test_config()
+    dec = FormulaDecoder(cfg)
+    rng = jax.random.PRNGKey(11)
+    B = 2
+    z = jax.random.normal(rng, (B, cfg.latent_dim))
+    st = jnp.zeros((B, cfg.stoich_input_dim))
+    hv = jnp.zeros((B, cfg.heads_input_dim))
+    toks = jax.random.randint(rng, (B, cfg.max_len), 4, 200)
+    params = dec.init(rng, z, toks, st, hv)
+    ref = dec.apply(params, z, toks, st, hv)
+
+    cfg2 = widened_config(cfg, 64, 128)
+    params2 = expand_decoder_width(params, cfg, 64, 128)
+    cfg3 = widened_config(cfg2, 128, 256)
+    assert cfg3.pos_dim == cfg.d_model
+    params3 = expand_decoder_width(params2, cfg2, 128, 256)
+    out = FormulaDecoder(cfg3).apply(params3, z, toks, st, hv)
+    np.testing.assert_allclose(np.asarray(out['logits']),
+                               np.asarray(ref['logits']), atol=2e-4)

@@ -48,6 +48,14 @@ def main():
     d.add_argument('--layers', type=int, default=1)
     d.add_argument('--out', required=True)
 
+    we = sub.add_parser('widen-encoder')
+    we.add_argument('checkpoint')
+    we.add_argument('--factor', type=int, default=2,
+                    help='integer widening factor for fusion_dim and both '
+                         'hidden stacks')
+    we.add_argument('--noise', type=float, default=0.0)
+    we.add_argument('--out', required=True)
+
     w = sub.add_parser('widen')
     w.add_argument('checkpoint')
     w.add_argument('--d-model', type=int, required=True,
@@ -108,7 +116,8 @@ def main():
         mcfg2 = dataclasses.replace(
             mcfg, num_layers=mcfg.num_layers + args.layers)
         suffix = f'deepened+{args.layers}'
-    else:  # widen (reference: scripts/migrate_checkpoint_v1242_wider.py)
+    elif args.cmd == 'widen':
+        # reference: scripts/migrate_checkpoint_v1242_wider.py
         from superconductor_vae_tpu.models.surgery import (
             expand_decoder_width, widened_config,
         )
@@ -118,6 +127,20 @@ def main():
                                        noise=args.noise)
         mcfg2 = widened_config(mcfg, args.d_model, new_ffn)
         suffix = f'widened-{args.d_model}'
+    else:  # widen-encoder (reference: net2net_expansion.py:954)
+        from superconductor_vae_tpu.models.surgery import (
+            expand_encoder_widths, widened_encoder_config,
+        )
+        k = args.factor
+        neh = tuple(w * k for w in mcfg.encoder_hidden)
+        ndh = tuple(w * k for w in mcfg.decoder_hidden)
+        new_enc = expand_encoder_widths(restored['enc_params'], mcfg,
+                                        mcfg.fusion_dim * k, neh, ndh,
+                                        noise=args.noise)
+        mcfg2 = widened_encoder_config(mcfg, mcfg.fusion_dim * k, neh, ndh)
+        restored['enc_params'] = new_enc
+        new_dec = restored['dec_params']
+        suffix = f'encoder-widened-x{k}'
 
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        enc_params=restored['enc_params'],

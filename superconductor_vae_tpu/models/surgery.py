@@ -371,3 +371,157 @@ def expand_decoder_width(dec_params: Dict, cfg, new_d_model: int,
         root[f'{hd}_d2']['kernel'] = rows(root[f'{hd}_d2']['kernel'], mh,
                                           multh)
     return params
+
+
+# ---- whole-model encoder expansion -------------------------------------------
+
+def widened_encoder_config(cfg, new_fusion_dim: int,
+                           new_encoder_hidden, new_decoder_hidden):
+    """ModelConfig targeted by ``expand_encoder_widths``."""
+    import dataclasses as _dc
+    return _dc.replace(cfg, fusion_dim=new_fusion_dim,
+                       encoder_hidden=tuple(new_encoder_hidden),
+                       decoder_hidden=tuple(new_decoder_hidden))
+
+
+def expand_encoder_widths(enc_params: Dict, cfg, new_fusion_dim: int,
+                          new_encoder_hidden, new_decoder_hidden,
+                          noise: float = 0.0, seed: int = 0) -> Dict:
+    """Widen the WHOLE MaterialsEncoder: fusion_dim + encoder/decoder
+    hidden stacks, across all three encoder branches, the fusion MLP, the
+    latent projection, the decoder backbone, and every head reading from
+    it.  Heads reading from the (unchanged) latent are untouched.
+
+    Capability parity with the reference ``expand_full_materials_vae``
+    (reference: models/net2net_expansion.py:954-1368).  Like
+    ``expand_decoder_width`` this uses uniform channel duplication so the
+    expansion is EXACTLY function-preserving for every fixed-dim output
+    (z, tc/sc/fraction/hp/family/tc_class/magpie predictions); the
+    width-carrying ``attended_input`` output becomes its own channel
+    duplication.  Integer widening factors only.
+
+    Returns a new param pytree targeting ``widened_encoder_config``.
+    """
+    f = cfg.fusion_dim
+    eh, dh = tuple(cfg.encoder_hidden), tuple(cfg.decoder_hidden)
+    neh, ndh = tuple(new_encoder_hidden), tuple(new_decoder_hidden)
+    if (new_fusion_dim % f or len(neh) != len(eh) or len(ndh) != len(dh)
+            or any(n % o for n, o in zip(neh, eh))
+            or any(n % o for n, o in zip(ndh, dh))):
+        raise ValueError(
+            f'expand_encoder_widths requires integer widening factors and '
+            f'equal stack depths: fusion {f}->{new_fusion_dim}, '
+            f'encoder_hidden {eh}->{neh}, decoder_hidden {dh}->{ndh}')
+    rng = np.random.default_rng(seed)
+
+    def umap(old, new):
+        m = np.sort(np.tile(np.arange(old), new // old))
+        counts = np.bincount(m, minlength=old)
+        return m, counts[m].astype(np.float64)
+
+    def nz(shape):
+        return (rng.normal(0, noise, shape) if noise > 0 else 0.0)
+
+    def cols(k, m):                                  # produce-to-widened
+        out = _np(k)[..., m]
+        return out + nz(out.shape)
+
+    def rows(k, m, mult):                            # consume-from-widened
+        return _np(k)[m] / mult[:, None]
+
+    def map_ln(ln, m):
+        ln['scale'] = _np(ln['scale'])[m]
+        ln['bias'] = _np(ln['bias'])[m]
+
+    def map_out(mod, m):                             # Dense producing widened
+        mod['kernel'] = cols(mod['kernel'], m)
+        mod['bias'] = _np(mod['bias'])[m]
+
+    mf, multf = umap(f, new_fusion_dim)
+
+    params = jax.tree.map(np.array, enc_params)
+    root = params['params']
+
+    # element branch: output_projection MLP([fusion]) with LN
+    op = root['element_encoder']['output_projection']
+    map_out(op['Dense_0'], mf)
+    map_ln(op['LayerNorm_0'], mf)
+
+    # magpie branch: MLP([2f, f]) with LN on both layers
+    m2f, mult2f = umap(2 * f, 2 * new_fusion_dim)
+    me = root['magpie_encoder']
+    map_out(me['Dense_0'], m2f)
+    map_ln(me['LayerNorm_0'], m2f)
+    me['Dense_1']['kernel'] = cols(rows(me['Dense_1']['kernel'], m2f, mult2f),
+                                   mf)
+    me['Dense_1']['bias'] = _np(me['Dense_1']['bias'])[mf]
+    map_ln(me['LayerNorm_1'], mf)
+
+    # tc branch: MLP([f/2, f]) no LN, then tc_encoder_ln
+    mfh, multfh = umap(f // 2, new_fusion_dim // 2)
+    te = root['tc_encoder_pre']
+    map_out(te['Dense_0'], mfh)
+    te['Dense_1']['kernel'] = cols(rows(te['Dense_1']['kernel'], mfh, multfh),
+                                   mf)
+    te['Dense_1']['bias'] = _np(te['Dense_1']['bias'])[mf]
+    map_ln(root['tc_encoder_ln'], mf)
+
+    # fusion MLP([3f]): input is concat [elem f | magpie f | tc f] — the
+    # consume map must be segment-blocked; the 3f output is internal, so a
+    # plain uniform map serves as its duplication
+    m3f_in = np.concatenate([mf + i * f for i in range(3)])
+    mult3f_in = np.concatenate([multf] * 3)
+    m3f, mult3f = umap(3 * f, 3 * new_fusion_dim)
+    fu = root['fusion']['Dense_0']
+    fu['kernel'] = cols(rows(fu['kernel'], m3f_in, mult3f_in), m3f)
+    fu['bias'] = _np(fu['bias'])[m3f]
+    map_ln(root['fusion']['LayerNorm_0'], m3f)
+
+    # latent stack: MLP(encoder_hidden) with LN per layer, then fc_mean
+    prev_m, prev_mult = m3f, mult3f
+    lm = root['latent_mlp']
+    for i, (old_w, new_w) in enumerate(zip(eh, neh)):
+        mh, multh = umap(old_w, new_w)
+        lm[f'Dense_{i}']['kernel'] = cols(
+            rows(lm[f'Dense_{i}']['kernel'], prev_m, prev_mult), mh)
+        lm[f'Dense_{i}']['bias'] = _np(lm[f'Dense_{i}']['bias'])[mh]
+        map_ln(lm[f'LayerNorm_{i}'], mh)
+        prev_m, prev_mult = mh, multh
+    root['fc_mean']['kernel'] = rows(root['fc_mean']['kernel'],
+                                     prev_m, prev_mult)
+
+    # decoder backbone: MLP(decoder_hidden) consuming the unchanged latent
+    bb = root['decoder_backbone']
+    prev = None
+    for i, (old_w, new_w) in enumerate(zip(dh, ndh)):
+        mh, multh = umap(old_w, new_w)
+        k = bb[f'Dense_{i}']['kernel']
+        bb[f'Dense_{i}']['kernel'] = cols(
+            k if prev is None else rows(k, prev[0], prev[1]), mh)
+        bb[f'Dense_{i}']['bias'] = _np(bb[f'Dense_{i}']['bias'])[mh]
+        map_ln(bb[f'LayerNorm_{i}'], mh)
+        prev = (mh, multh)
+    mb, multb = prev                                  # backbone output map
+
+    # heads consuming backbone_h
+    root['tc_proj']['kernel'] = rows(root['tc_proj']['kernel'], mb, multb)
+    mg = root['magpie_head']                         # MLP([backbone, magpie])
+    mgh, multgh = umap(dh[-1], ndh[-1])
+    mg['Dense_0']['kernel'] = cols(rows(mg['Dense_0']['kernel'], mb, multb),
+                                   mgh)
+    mg['Dense_0']['bias'] = _np(mg['Dense_0']['bias'])[mgh]
+    mg['Dense_1']['kernel'] = rows(mg['Dense_1']['kernel'], mgh, multgh)
+    ah = root['attended_head']                       # [backbone -> fusion]
+    ah['kernel'] = cols(rows(ah['kernel'], mb, multb), mf)
+    ah['bias'] = _np(ah['bias'])[mf]
+    map_ln(root['attended_head_ln'], mf)
+    tch = root['tc_class_head']
+    tch['Dense_0']['kernel'] = rows(tch['Dense_0']['kernel'], mb, multb)
+    # family head: input layout [backbone | sc_logit(1)]
+    mb_sc = np.concatenate([mb, [dh[-1]]])
+    multb_sc = np.concatenate([multb, [1.0]])
+    fh = root['family_head']
+    for head in ('coarse', 'cuprate_sub', 'iron_sub'):
+        fh[f'{head}_d0']['kernel'] = rows(fh[f'{head}_d0']['kernel'],
+                                          mb_sc, multb_sc)
+    return params

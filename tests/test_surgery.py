@@ -203,3 +203,55 @@ def test_expand_decoder_width_chains():
     out = FormulaDecoder(cfg3).apply(params3, z, toks, st, hv)
     np.testing.assert_allclose(np.asarray(out['logits']),
                                np.asarray(ref['logits']), atol=2e-4)
+
+
+def test_expand_encoder_widths_exact():
+    """Whole-encoder widen (reference: net2net_expansion.py:954-1368).
+    Every fixed-dim output (z and all head predictions) must be exactly
+    preserved; the width-carrying attended_input becomes its own channel
+    duplication."""
+    import jax
+    from superconductor_vae_tpu.models.encoder import MaterialsEncoder
+    from superconductor_vae_tpu.models.config import tiny_test_config
+    from superconductor_vae_tpu.models.surgery import (
+        expand_encoder_widths, widened_encoder_config)
+
+    cfg = tiny_test_config()
+    enc = MaterialsEncoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    B = 3
+    ei = jax.random.randint(rng, (B, cfg.max_elements), 0, cfg.n_elements)
+    ef = jax.nn.softmax(jax.random.normal(
+        jax.random.fold_in(rng, 1), (B, cfg.max_elements)))
+    em = jnp.ones((B, cfg.max_elements), bool)
+    mg = jax.random.normal(jax.random.fold_in(rng, 2), (B, cfg.magpie_dim))
+    tc = jax.random.normal(jax.random.fold_in(rng, 3), (B,))
+    params = enc.init(rng, ei, ef, em, mg, tc)
+    ref = enc.apply(params, ei, ef, em, mg, tc)
+
+    cfg2 = widened_encoder_config(cfg, 64, (96, 64), (64, 96))
+    params2 = expand_encoder_widths(params, cfg, 64, (96, 64), (64, 96))
+    enc2 = MaterialsEncoder(cfg2)
+    fresh = jax.eval_shape(lambda r: enc2.init(r, ei, ef, em, mg, tc), rng)
+    jax.tree.map(lambda a, b: None if a.shape == jnp.shape(b) else
+                 (_ for _ in ()).throw(AssertionError((a.shape, jnp.shape(b)))),
+                 fresh, params2)
+    out = enc2.apply(params2, ei, ef, em, mg, tc)
+    for k in ('z', 'tc_pred', 'sc_pred', 'fraction_pred',
+              'element_count_pred', 'hp_pred', 'competence',
+              'tc_class_logits', 'magpie_pred', 'family_composed_14',
+              'family_coarse_logits'):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=2e-4, err_msg=k)
+    att = np.asarray(ref['attended_input'])
+    att2 = np.asarray(out['attended_input'])
+    m = np.sort(np.tile(np.arange(att.shape[-1]), 2))
+    np.testing.assert_allclose(att2, att[..., m], atol=2e-4)
+
+
+def test_expand_encoder_widths_rejects_bad_factors():
+    from superconductor_vae_tpu.models.surgery import expand_encoder_widths
+    from superconductor_vae_tpu.models.config import tiny_test_config
+    cfg = tiny_test_config()
+    with pytest.raises(ValueError, match='integer widening'):
+        expand_encoder_widths({'params': {}}, cfg, 48, (96, 64), (64, 96))

@@ -27,7 +27,7 @@ import json
 import re
 from fractions import Fraction
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -190,6 +190,25 @@ def load_holdout_formulas(path: Optional[Path] = None) -> List[str]:
     return [s['formula'] for s in blob.get('holdout_samples', [])]
 
 
+def canonical_composition_key(formula: str) -> Optional[Tuple]:
+    """Spelling-independent composition identity: normalized element
+    fractions rounded to 1e-6.  Used for holdout exclusion — exact-string
+    matching (the reference's approach, sufficient for its pre-cleaned
+    1,810-row corpus) silently misses respellings once ingestion
+    canonicalizes subscripts to (p/q) notation: 42/45 holdout targets
+    re-entered the 28K corpus under different spellings."""
+    try:
+        comp = parse_formula_composition(formula)
+    except Exception:
+        return None
+    if not comp:
+        return None
+    tot = sum(comp.values())
+    if tot <= 0:
+        return None
+    return tuple(sorted((el, round(amt / tot, 6)) for el, amt in comp.items()))
+
+
 def load_dataset(
     csv_path: str | Path,
     max_len: int = 30,
@@ -223,7 +242,7 @@ def load_dataset(
         h = hashlib.sha256()
         h.update(csv_path.read_bytes())
         h.update(f'{max_len}|{skew_threshold}|{sc_only_norm}|'
-                 f'{tc_log_transform}|{exclude_holdout}|{limit}|'
+                 f'{tc_log_transform}|{exclude_holdout}.v2|{limit}|'
                  f'{tokenizer.vocab_size}|{drop_unk}|'
                  f'{magpie_bridge}'.encode())
         cache_file = Path(cache_dir) / f'dataset_{h.hexdigest()[:16]}.npz'
@@ -317,12 +336,20 @@ def load_dataset(
     comp_targets, comp_stats = normalized_compositional_targets(
         elem_idx, elem_frac, elem_mask)
 
-    # Holdout exclusion by formula match
+    # Holdout exclusion at COMPOSITION level (stronger than the
+    # reference's formula-string match): any row whose normalized element
+    # fractions equal a holdout target's is excluded, regardless of
+    # spelling (see canonical_composition_key)
     keep = np.ones(n, bool)
     if exclude_holdout:
         holdout = set(load_holdout_formulas())
         if holdout:
-            keep = np.array([f not in holdout for f in formulas])
+            hold_keys = {canonical_composition_key(f) for f in holdout}
+            hold_keys.discard(None)
+            keep = np.array([
+                f not in holdout
+                and canonical_composition_key(f) not in hold_keys
+                for f in formulas])
     if drop_unk:
         from ..tokenizer import FRAC_UNK_ID, UNK_ID
         has_unk = ((tokens == UNK_ID) | (tokens == FRAC_UNK_ID)).any(axis=1)

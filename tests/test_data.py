@@ -245,3 +245,40 @@ def test_canonical_ordering():
     assert aug.augment('Nb') == ['Nb']
     b = aug.augment_batch(['MgB2', 'Nb'])
     assert 'Nb' in b and 'MgB2' in b
+
+
+def test_holdout_exclusion_is_composition_level(tmp_path):
+    """Respellings of a holdout composition (decimal vs (p/q) vs scaled
+    integers) must all be excluded (reference matches formula strings only;
+    canonicalized ingestion defeats that — 42/45 targets had re-entered)."""
+    import json
+    import pandas as pd
+    from superconductor_vae_tpu.data import load_dataset
+    from superconductor_vae_tpu.data.pipeline import canonical_composition_key
+
+    from superconductor_vae_tpu.data import pipeline as pl_mod
+    hold = pl_mod.load_holdout_formulas()
+    assert len(hold) == 45
+    k1 = canonical_composition_key('Ba0.2La1.8Cu1O4')
+    k2 = canonical_composition_key('Ba(1/5)La(9/5)Cu1O4')
+    k3 = canonical_composition_key('BaLa9Cu5O20')     # x5 scale
+    assert k1 == k2 == k3 != None
+
+    # a real holdout target, respelled as decimals, must be dropped
+    target = 'Y(4/5)Ba2Cu3O(161/25)'
+    assert target in hold
+    respelled = 'Y0.8Ba2Cu3O6.44'
+    assert (canonical_composition_key(respelled)
+            == canonical_composition_key(target))
+    df = pd.DataFrame({
+        'formula': [respelled, 'Mg1B2', 'Y1Ba2Cu3O7'],
+        'Tc': [90.0, 39.0, 92.0],
+        'is_superconductor': [1, 1, 1],
+        'category': ['Cuprates', 'Other', 'Cuprates'],
+        'requires_high_pressure': [0, 0, 0],
+    })
+    csv = tmp_path / 'mini.csv'
+    df.to_csv(csv, index=False)
+    ds = load_dataset(csv, max_len=30, cache_dir=None)
+    assert respelled not in ds.formulas
+    assert 'Mg1B2' in ds.formulas

@@ -42,6 +42,10 @@ def main():
                    help='benchmark speculative decode (n-gram draft, '
                         'per-row advance) vs the plain KV-cache scan; '
                         'reports formulas/s + measured acceptance')
+    p.add_argument('--pallas-decode', action='store_true',
+                   help='A/B the fused Pallas decode-step attention '
+                        '(ops/pallas_decode.py) against the XLA path at '
+                        'native decode shapes; reports both in us/step')
     args = p.parse_args()
 
     if args.quick:
@@ -81,6 +85,45 @@ def main():
         mcfg, tcfg, rng, dtype=dtype)
     tokenizer = default_tokenizer(max_len=mcfg.max_len)
     luts = build_luts(tokenizer)
+
+    if args.pallas_decode:
+        import time
+        from superconductor_vae_tpu.ops.pallas_decode import (
+            decode_step_attention, decode_step_attention_xla,
+        )
+        b, h, dh = batch_size, mcfg.nhead, mcfg.head_dim
+        t = mcfg.max_len + 8
+        k = jax.random.normal(rng, (b, h, t, dh), dtype)
+        v = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, t, dh), dtype)
+        q = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, dh), dtype)
+        kn = jax.random.normal(jax.random.fold_in(rng, 3), (b, h, dh), dtype)
+        vn = jax.random.normal(jax.random.fold_in(rng, 4), (b, h, dh), dtype)
+        pos = jnp.int32(t // 2)
+
+        pall = jax.jit(lambda *a: decode_step_attention(
+            *a, interpret=args.quick))
+        xla = jax.jit(decode_step_attention_xla)
+
+        def time_fn(fn):
+            out = fn(q, kn, vn, k, v, pos)
+            jax.block_until_ready(out)
+            n = 50
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(q, kn, vn, k, v, pos)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / n * 1e6
+
+        us_pallas = time_fn(pall)
+        us_xla = time_fn(xla)
+        print(json.dumps({
+            'metric': 'pallas_decode_step_attention_us',
+            'value': round(us_pallas, 2),
+            'unit': f'us/step b{b} h{h} t{t} dh{dh}',
+            'vs_baseline': round(us_xla / max(us_pallas, 1e-9), 3),
+            'xla_us': round(us_xla, 2),
+        }))
+        return
 
     if args.gen:
         from superconductor_vae_tpu.generation import (

@@ -106,16 +106,28 @@ def train(
 
     def get_step(rl_enabled: bool):
         if rl_enabled not in steps:
-            steps[rl_enabled] = make_train_step(
+            step = make_train_step(
                 encoder, decoder, tcfg, tx_enc, tx_dec, luts,
                 rl_enabled=rl_enabled)
+            if tcfg.debug_numerics:
+                # checkify sanitizer (SURVEY 5.2): localize the first
+                # NaN/Inf op; err checked on host each step
+                from ..utils.debug import checkify_fn
+                checked = checkify_fn(step)
+
+                def step(state, batch, rng, dyn, _c=checked):  # noqa: F811
+                    err, out = _c(state, batch, rng, dyn)
+                    err.throw()
+                    return out
+            steps[rl_enabled] = step
         return steps[rl_enabled]
 
     # device-resident dataset + whole-epoch scan: ONE dispatch per epoch.
     # The per-step host->device RTT (dominant at batch 128 over the remote
     # tunnel) disappears; only the [n_batches, B] int32 indices transfer.
     # Multi-host keeps the per-batch make_array_from_process_local_data path.
-    device_resident = tcfg.device_resident_data and jax.process_count() == 1
+    device_resident = (tcfg.device_resident_data and jax.process_count() == 1
+                       and not tcfg.debug_numerics)
     data_dev = None
     runners = {}
     if device_resident:
@@ -429,6 +441,12 @@ def train(
                 state = state.replace(enc_params=p2['enc_params'],
                                       dec_params=p2['dec_params'])
                 log_fn(f"[phase2] {p2['metrics']}")
+                # structured sub-epoch record (mined by
+                # scripts/phase2_dashboard.py; reference logs to
+                # outputs/phase2_log.csv, phase2_dashboard.py:26-44)
+                with open(out_dir / 'phase2_log.jsonl', 'a') as f:
+                    f.write(json.dumps({'epoch': epoch,
+                                        **p2['metrics']}) + '\n')
 
             # z-cache dump + topology telemetry on checkpoint cadence
             if (epoch + 1) % tcfg.checkpoint_interval == 0:

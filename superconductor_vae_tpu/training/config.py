@@ -36,6 +36,9 @@ class TrainConfig:
     error_report_interval: int = 16     # epochs between error-record JSONL
                                         # dumps (reference: :4431+)
     seed: int = 0
+    # NaN/Inf sanitizer (jax_debug_nans) on the train step (SURVEY 5.2);
+    # disables the whole-epoch scan path — debugging only
+    debug_numerics: bool = False
     # model compute dtype ('float32' | 'bfloat16'). bf16 keeps params fp32
     # (flax param_dtype) and runs matmuls on the MXU at 2x; losses are
     # computed in fp32 regardless (outputs cast at the loss boundary)

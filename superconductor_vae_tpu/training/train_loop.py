@@ -60,6 +60,14 @@ def train(
     out_dir = Path(output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    if tcfg.debug_numerics:
+        # NaN/Inf sanitizer (SURVEY 5.2): every dispatch is checked and, on
+        # a hit, re-run un-jitted so the exception names the producing op.
+        # The whole-epoch scan is disabled in this mode (one dispatch per
+        # step gives per-step localization).
+        from ..utils.debug import enable_nan_debugging
+        enable_nan_debugging()
+
     # ---- data --------------------------------------------------------------
     tokenizer = default_tokenizer(max_len=tcfg.max_formula_len)
     if dataset is not None:
@@ -109,16 +117,6 @@ def train(
             step = make_train_step(
                 encoder, decoder, tcfg, tx_enc, tx_dec, luts,
                 rl_enabled=rl_enabled)
-            if tcfg.debug_numerics:
-                # checkify sanitizer (SURVEY 5.2): localize the first
-                # NaN/Inf op; err checked on host each step
-                from ..utils.debug import checkify_fn
-                checked = checkify_fn(step)
-
-                def step(state, batch, rng, dyn, _c=checked):  # noqa: F811
-                    err, out = _c(state, batch, rng, dyn)
-                    err.throw()
-                    return out
             steps[rl_enabled] = step
         return steps[rl_enabled]
 

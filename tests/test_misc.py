@@ -138,3 +138,34 @@ def test_topology_hdbscan_and_boundary(tmp_path):
     import json as _json
     lines = (tmp_path / 'topology_summary.jsonl').read_text().splitlines()
     assert _json.loads(lines[-1])['epoch'] == 2
+
+
+def test_debug_sanitizers():
+    """utils/debug: checkify_fn localizes the first NaN op on-device;
+    enable_nan_debugging flips the global first-NaN config (SURVEY 5.2)."""
+    import jax
+    import jax.numpy as jnp
+    from superconductor_vae_tpu.utils.debug import (
+        checkify_fn, enable_nan_debugging,
+    )
+
+    def loss(x):
+        return jnp.sum(jnp.log(x))        # NaN for negative entries
+
+    checked = jax.jit(checkify_fn(loss))
+    err, out = checked(jnp.array([1.0, 2.0]))
+    err.throw()                           # clean input: no error
+    assert np.isfinite(float(out))
+
+    err, out = checked(jnp.array([-1.0, 2.0]))
+    with pytest.raises(Exception, match='nan'):
+        err.throw()
+
+    prev = jax.config.jax_debug_nans
+    try:
+        enable_nan_debugging()
+        assert jax.config.jax_debug_nans
+        with pytest.raises(FloatingPointError):
+            jax.jit(loss)(jnp.array([-1.0]))
+    finally:
+        jax.config.update('jax_debug_nans', prev)

@@ -71,6 +71,9 @@ class TrainConfig:
     rl_auto_scale_ema: float = 0.9      # smoothing after one-shot calibration
     rl_safety_exact_drop: float = 0.02
     rl_safety_check_interval: int = 5
+    rl_epoch_interval: int = 1          # run RL rollouts every k-th epoch
+                                        # once active (duty cycle; 1 = every
+                                        # epoch as the reference)
     rl_temperature_start: float = 1.2
     rl_temperature_end: float = 0.5
     rl_temperature_decay_epochs: int = 50

@@ -115,6 +115,16 @@ class RLController:
         if not self.active:
             return 0.0
 
+        # duty cycle: RL rollouts every k-th epoch once active.  The rollout
+        # epoch costs ~6x a TF-only epoch (two AR decodes per step), so
+        # interleaving TF-only epochs buys most of RL's AR-gap benefit at a
+        # fraction of the wall cost — the throughput analogue of the
+        # reference's smart loss skipping (train_v12_clean.py:614-636).
+        if (cfg.rl_epoch_interval > 1 and self.activation_epoch is not None
+                and (epoch - self.activation_epoch)
+                % cfg.rl_epoch_interval != 0):
+            return 0.0
+
         w = self.weight
         # warmup ramp after activation
         if self.activation_epoch is not None:

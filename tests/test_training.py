@@ -122,6 +122,18 @@ class TestSchedulers:
         w = ctl.epoch_update(0, 0.95, 0.9)  # above force threshold
         assert ctl.active and w == cfg.rl_reactivation_weight
 
+    def test_rl_duty_cycle(self):
+        cfg = TrainConfig(rl_weight=0.0, rl_min_ar_exact=0.0,
+                          rl_auto_scale=False, rl_warmup_epochs=0,
+                          rl_epoch_interval=3)
+        ctl = RLController(cfg)
+        ctl.epoch_update(10, 0.95, 0.9)   # force-activates at epoch 10
+        assert ctl.active
+        ws = [ctl.epoch_update(e, 0.95, 0.9) for e in range(11, 17)]
+        # rollout epochs only when (epoch - activation) % 3 == 0
+        assert [w > 0 for w in ws] == [False, False, True,
+                                       False, False, True]
+
     def test_rl_safety_halves(self):
         cfg = TrainConfig(rl_weight=1.0, rl_auto_scale=False,
                           rl_warmup_epochs=0, rl_safety_check_interval=1)

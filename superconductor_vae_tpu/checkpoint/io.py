@@ -49,9 +49,11 @@ def save_checkpoint(root: str | Path, state, mcfg: ModelConfig, tcfg,
                'enc_params': state.enc_params,
                'dec_params': state.dec_params}
     if include_opt:
-        # optimizer states triple the payload; 'best' saves (model selection,
-        # not resume points) skip them — resume prefers the newest full-state
-        # epoch_/interrupt checkpoint anyway (latest_checkpoint)
+        # optimizer states triple the payload.  Callers may skip them for
+        # export-style saves, but every train-loop save (incl. 'best') keeps
+        # them: latest_checkpoint picks the HIGHEST-epoch checkpoint, and
+        # 'best' is often the newest — resuming it without Adam moments
+        # warm-restarts the optimizer (observed on run2 @ epoch 211)
         payload['enc_opt'] = jax.tree.leaves(state.enc_opt)
         payload['dec_opt'] = jax.tree.leaves(state.dec_opt)
     if getattr(state, 'set_params', None) is not None:

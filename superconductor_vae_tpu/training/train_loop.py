@@ -506,8 +506,7 @@ def train(
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
                             epoch=epoch, metrics=row, tag='best',
                             controllers=_ctl_state(),
-                            extra_arrays=_mastery_arrays(),
-                            include_opt=False)
+                            extra_arrays=_mastery_arrays())
             last_best_saved = exact
         if interrupt['flag']:
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,

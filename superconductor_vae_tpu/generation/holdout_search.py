@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.pipeline import DatasetArrays, parse_formula_composition
+from ..data.pipeline import (
+    DatasetArrays, canonical_composition_key, parse_formula_composition,
+)
 from ..chem.elements import SYMBOL_TO_Z
 from ..models import MaterialsEncoder, FormulaDecoder
 from ..tokenizer import FractionAwareTokenizer
@@ -159,11 +161,19 @@ class HoldoutSearch:
             for j, f in enumerate(formulas):
                 if f:
                     by_formula.setdefault(f, []).append(j % len(z_np))
-            best, best_sim = '', 0.0
+            # exact match is COMPOSITION-level: generated formulas are in
+            # the tokenizer's canonical order (sorted elements, GCD p/q)
+            # while holdout targets keep their source notation, so a string
+            # compare would never fire (reference holdout_search.py:546-566
+            # compares raw strings because its corpus preserves order)
+            tkey = canonical_composition_key(target)
+            best, best_sim, best_exact = '', 0.0, False
             for f in by_formula:
-                sim = 1.0 if f == target else element_similarity(f, target)
-                if sim > best_sim:
-                    best, best_sim = f, sim
+                is_exact = (tkey is not None
+                            and canonical_composition_key(f) == tkey)
+                sim = 1.0 if is_exact else element_similarity(f, target)
+                if sim > best_sim or (is_exact and not best_exact):
+                    best, best_sim, best_exact = f, sim, is_exact
             consistent = True
             cons_info = None
             if check_consistency and best:
@@ -176,11 +186,11 @@ class HoldoutSearch:
                 cons_info = {'tc_pred_kelvin': float(c['tc_pred_kelvin'][0]),
                              'sc_prob': float(c['sc_prob'][0])}
             results.append(HoldoutResult(
-                target=target, best_match=best, exact=best == target,
+                target=target, best_match=best, exact=best_exact,
                 best_similarity=best_sim, n_candidates=len(by_formula),
                 consistent=consistent, consistency=cons_info))
             log_fn(f'[{t_i+1}] {target}: best={best!r} sim={best_sim:.3f} '
-                   f'{"EXACT" if best == target else ""}'
+                   f'{"EXACT" if best_exact else ""}'
                    f'{"" if consistent else " INCONSISTENT"}')
         return results
 

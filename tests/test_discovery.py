@@ -160,6 +160,20 @@ class TestHoldoutSearch:
         assert 0.5 < partial < 1.0
         assert element_similarity('MgB2', 'YBa2Cu3O7') == 0.0
 
+    def test_exact_match_is_composition_level(self):
+        """Generated formulas come out in canonical element order; a holdout
+        target in source notation must still count as EXACT when the
+        composition matches (string compare would never fire)."""
+        from superconductor_vae_tpu.data.pipeline import (
+            canonical_composition_key,
+        )
+        target = 'Tl2Ba2Ca(19/20)Y(1/20)Cu2O8'
+        generated = 'Ba2Ca(19/20)Cu2O8Tl2Y(1/20)'   # same composition
+        near_miss = 'Ba2Ca(7/10)Cu2O8Tl2Y(3/10)'
+        tkey = canonical_composition_key(target)
+        assert canonical_composition_key(generated) == tkey
+        assert canonical_composition_key(near_miss) != tkey
+
     def test_holdout_search_micro(self, tmp_path):
         import json
         import jax, jax.numpy as jnp

@@ -284,8 +284,12 @@ def train(
                   'physz_weight', 'lr', 'entropy', 'mean_reward',
                   'epoch_time_s', 'samples_per_s']
 
-    with open(csv_path_out, 'w', newline='') as f:
-        csv.DictWriter(f, fieldnames=csv_fields).writeheader()
+    # append across resumes so crash-restart loops (train_resilient) keep
+    # one continuous metrics history for the analyzers (the reference's
+    # log_training_metrics also appends, train_v12_clean.py:3979)
+    if not (start_epoch > 0 and csv_path_out.exists()):
+        with open(csv_path_out, 'w', newline='') as f:
+            csv.DictWriter(f, fieldnames=csv_fields).writeheader()
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         t0 = time.time()

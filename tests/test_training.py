@@ -270,6 +270,10 @@ def test_resume_from_checkpoint(tmp_path):
     assert any('[resume]' in str(l) for l in logs)
     assert len(out2['history']) == 1
     assert out2['history'][0]['epoch'] == 2
+    # metrics CSV appends across the resume: epochs 0,1 + epoch 2
+    import csv as _csv
+    rows = list(_csv.DictReader(open(tmp_path / 'training_metrics.csv')))
+    assert [int(r['epoch']) for r in rows] == [0, 1, 2]
 
 
 def test_resume_restores_optimizer_and_controllers(tmp_path):

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Standalone checkpoint evaluation CLI.
+
+True-AR exact match + TF metrics for a trained checkpoint over a corpus
+(the reference embeds this in evaluate_true_autoregressive inside the
+train script, train_v12_clean.py:4431; here it is a first-class tool).
+
+Usage:
+    python scripts/evaluate.py --checkpoint outputs/run2/checkpoints/best \
+        --csv data/processed/jarvis_merged.csv.gz
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--checkpoint', required=True)
+    p.add_argument('--csv',
+                   default='data/processed/jarvis_merged.csv.gz')
+    p.add_argument('--limit', type=int, default=None)
+    p.add_argument('--batch-size', type=int, default=256)
+    p.add_argument('--max-batches', type=int, default=None,
+                   help='default: the whole corpus')
+    p.add_argument('--cpu', action='store_true')
+    p.add_argument('--errors-out', default=None,
+                   help='write per-sample error records JSONL here')
+    p.add_argument('--out', default=None, help='write summary JSON here')
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    from superconductor_vae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import numpy as np
+    from superconductor_vae_tpu.checkpoint import load_checkpoint
+    from superconductor_vae_tpu.data import load_dataset
+    from superconductor_vae_tpu.models import MaterialsEncoder, FormulaDecoder
+    from superconductor_vae_tpu.models.config import ModelConfig
+    from superconductor_vae_tpu.tokenizer import default_tokenizer
+    from superconductor_vae_tpu.training import TrainConfig
+    from superconductor_vae_tpu.training.evaluate import (
+        evaluate_autoregressive,
+    )
+    from superconductor_vae_tpu.training.train_step import build_luts
+
+    restored, meta = load_checkpoint(args.checkpoint)
+    mcfg = ModelConfig(**meta['model_config'])
+    tokenizer = default_tokenizer(max_len=mcfg.max_len)
+    ds = load_dataset(args.csv, max_len=mcfg.max_len, tokenizer=tokenizer,
+                      limit=args.limit)
+    tcfg = TrainConfig(max_formula_len=mcfg.max_len)
+    luts = build_luts(tokenizer)
+
+    encoder = MaterialsEncoder(mcfg)
+    decoder = FormulaDecoder(mcfg)
+    out = evaluate_autoregressive(
+        encoder, decoder, restored['enc_params'], restored['dec_params'],
+        ds, tcfg, luts, tokenizer=tokenizer, batch_size=args.batch_size,
+        max_batches=args.max_batches,
+        collect_errors=args.errors_out is not None)
+
+    summary = {
+        'checkpoint': str(args.checkpoint),
+        'epoch': meta.get('epoch'),
+        'n_evaluated': int(out['n_evaluated']),
+        'true_ar_exact': float(out['ar_exact']),
+        'tf_exact': float(out['tf_exact']),
+        'tc_mae_kelvin': float(out['tc_mae_kelvin']),
+        'tc_r2_per_bin': out['tc_r2_per_bin'],
+        'family_coarse_acc': float(out['family_coarse_acc']),
+        'z_norm_mean': float(out['z_norm_mean']),
+    }
+    print(json.dumps(summary, indent=2))
+    if args.errors_out:
+        Path(args.errors_out).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.errors_out, 'w') as f:
+            for rec in out.get('error_records', []):
+                f.write(json.dumps(rec) + '\n')
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(summary, indent=2))
+
+
+if __name__ == '__main__':
+    main()

@@ -125,6 +125,7 @@ class SelfSupervisedEpoch:
             optax.adamw(base_lr * cfg.lr_factor))
         self._enc_opt = None
         self._dec_opt = None
+        self._update_fn = None
         self._epoch = 0
         # mode-collapse intervention + exact-drop safety state
         self._collapse_remaining = 0
@@ -283,20 +284,24 @@ class SelfSupervisedEpoch:
             return {'enc_params': enc_params, 'dec_params': dec_params,
                     'metrics': metrics, 'accepted': accepted}
 
-        acc = jnp.asarray(accepted_idx)
-        z_acc = z[acc]
-        self.coverage.record_visits(np.asarray(z_acc))
-
-        # diversity bonus: first-seen formulas earn extra REINFORCE reward
-        div_bonus = np.zeros(len(accepted), np.float32)
+        # cyclically pad the accepted set to a STATIC cfg.n_samples rows so
+        # the jitted update compiles once; repeated rows mildly reweight the
+        # means, which is harmless for this low-LR auxiliary update
+        div_np = np.zeros(len(accepted), np.float32)
         for i, f in enumerate(accepted):
             if f not in self._rewarded:
-                div_bonus[i] = cfg.diversity_bonus
+                div_np[i] = cfg.diversity_bonus
                 self._rewarded.add(f)
-        div_bonus = jnp.asarray(div_bonus)
-        tokens = jnp.asarray(tokens_all[np.asarray(accepted_idx)])
-        explore_w = jnp.asarray(is_explore[np.asarray(accepted_idx)],
-                                jnp.float32)
+        pad_pos = np.resize(np.arange(len(accepted_idx)), cfg.n_samples)
+        sel = np.asarray(accepted_idx)[pad_pos]
+        acc = jnp.asarray(sel)
+        z_acc = z[acc]
+        self.coverage.record_visits(np.asarray(z[jnp.asarray(accepted_idx)]))
+
+        # diversity bonus: first-seen formulas earn extra REINFORCE reward
+        div_bonus = jnp.asarray(div_np[pad_pos])
+        tokens = jnp.asarray(tokens_all[sel])
+        explore_w = jnp.asarray(is_explore[sel], jnp.float32)
         stoich_acc, heads_acc = stoich[acc], heads_vec[acc]
 
         if self._enc_opt is None:
@@ -305,7 +310,12 @@ class SelfSupervisedEpoch:
 
         me = self.encoder.cfg.max_elements
 
-        def loss_fn(ep, dp):
+        def loss_fn(ep, dp, batch):
+            tokens = batch['tokens']
+            z_acc = batch['z_acc']
+            stoich_acc, heads_acc = batch['stoich'], batch['heads']
+            div_bonus, explore_w = batch['div_bonus'], batch['explore_w']
+            weight, rt_mult = batch['weight'], batch['rt_mult']
             tok_mask = (tokens != 0).astype(jnp.float32)
             e_idx, e_frac, e_mask = tokens_to_composition(
                 tokens, tok_mask, self.luts['token_to_z'],
@@ -384,14 +394,29 @@ class SelfSupervisedEpoch:
                            'loss4_reinforce': loss4,
                            'z_mse': z_mse, 'tc_mse': tc_mse}
 
-        (loss, aux), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(enc_params, dec_params)
-        upd_e, self._enc_opt = self.tx.update(grads[0], self._enc_opt,
-                                              enc_params)
-        enc_params = optax.apply_updates(enc_params, upd_e)
-        upd_d, self._dec_opt = self.tx.update(grads[1], self._dec_opt,
-                                              dec_params)
-        dec_params = optax.apply_updates(dec_params, upd_d)
+        if self._update_fn is None:
+            # one jitted program: 4-loss value_and_grad + BOTH optimizer
+            # updates.  Un-jitted this is thousands of eager dispatches of
+            # the 108M model per sub-epoch — minutes-to-hours over a remote
+            # TPU tunnel, observed stuck on run2 @ epoch 327
+            def _update(ep, dp, eopt, dopt, batch):
+                (loss_, aux_), grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(ep, dp, batch)
+                upd_e, eopt = self.tx.update(grads[0], eopt, ep)
+                ep = optax.apply_updates(ep, upd_e)
+                upd_d, dopt = self.tx.update(grads[1], dopt, dp)
+                dp = optax.apply_updates(dp, upd_d)
+                return ep, dp, eopt, dopt, loss_, aux_
+            self._update_fn = jax.jit(_update)
+
+        batch = {'tokens': tokens, 'z_acc': z_acc, 'stoich': stoich_acc,
+                 'heads': heads_acc, 'div_bonus': div_bonus,
+                 'explore_w': explore_w,
+                 'weight': jnp.asarray(weight, jnp.float32),
+                 'rt_mult': jnp.asarray(rt_mult, jnp.float32)}
+        (enc_params, dec_params, self._enc_opt, self._dec_opt,
+         loss, aux) = self._update_fn(enc_params, dec_params,
+                                      self._enc_opt, self._dec_opt, batch)
         metrics['phase2_loss'] = float(loss)
         metrics.update({k: float(v) for k, v in aux.items()})
         metrics['round_trip_z_mse'] = metrics.pop('z_mse')

@@ -144,41 +144,75 @@ class HoldoutSearch:
                targets: Optional[List[str]] = None,
                temperature_sweep: tuple = (0.0, 0.7),
                check_consistency: bool = True,
+               refine_rounds: int = 2,
                log_fn=print) -> List[HoldoutResult]:
+        """``refine_rounds``: zoom-in passes re-seeding a fine perturbation
+        sweep from the best candidate's latent centroid (the reference's
+        targeted search does the same around promising matches,
+        holdout_search_targeted.py:441-545)."""
         cache = self.pipe.analyzer.build_cache(self.pipe.ds)
         results = []
         rng = jax.random.PRNGKey(seed)
+        # exact match is COMPOSITION-level: generated formulas are in
+        # the tokenizer's canonical order (sorted elements, GCD p/q)
+        # while holdout targets keep their source notation, so a string
+        # compare would never fire (reference holdout_search.py:546-566
+        # compares raw strings because its corpus preserves order)
         for t_i, target in enumerate(targets or self.targets):
             t_rng = jax.random.fold_in(rng, t_i)
-            z = self._candidate_latents(target, cache, budget_per_target, t_rng)
-            formulas: List[str] = []
-            for temp in temperature_sweep:
-                formulas += self.pipe.decode_latents(
-                    z, temperature=temp, rng=jax.random.fold_in(t_rng, int(temp * 100)))
-            # per-formula latent centroids (same z decoded at each temp)
-            z_np = np.asarray(z)
-            by_formula: Dict[str, list] = {}
-            for j, f in enumerate(formulas):
-                if f:
-                    by_formula.setdefault(f, []).append(j % len(z_np))
-            # exact match is COMPOSITION-level: generated formulas are in
-            # the tokenizer's canonical order (sorted elements, GCD p/q)
-            # while holdout targets keep their source notation, so a string
-            # compare would never fire (reference holdout_search.py:546-566
-            # compares raw strings because its corpus preserves order)
             tkey = canonical_composition_key(target)
-            best, best_sim, best_exact = '', 0.0, False
-            for f in by_formula:
-                is_exact = (tkey is not None
-                            and canonical_composition_key(f) == tkey)
-                sim = 1.0 if is_exact else element_similarity(f, target)
-                if sim > best_sim or (is_exact and not best_exact):
-                    best, best_sim, best_exact = f, sim, is_exact
+
+            pool_z: List[np.ndarray] = []      # latent pool, concatenated
+            by_formula: Dict[str, list] = {}   # formula -> latent pool rows
+
+            def decode_into_pool(zc, temps, rng_):
+                offset = sum(len(p) for p in pool_z)
+                pool_z.append(np.asarray(zc))
+                m = zc.shape[0]
+                for s, temp in enumerate(temps):
+                    fs = self.pipe.decode_latents(
+                        zc, temperature=temp,
+                        rng=jax.random.fold_in(rng_, s))
+                    for j, f in enumerate(fs):
+                        if f:
+                            by_formula.setdefault(f, []).append(
+                                offset + (j % m))
+
+            def score():
+                best, best_sim, best_exact = '', 0.0, False
+                for f in by_formula:
+                    is_exact = (tkey is not None
+                                and canonical_composition_key(f) == tkey)
+                    sim = 1.0 if is_exact else element_similarity(f, target)
+                    if sim > best_sim or (is_exact and not best_exact):
+                        best, best_sim, best_exact = f, sim, is_exact
+                return best, best_sim, best_exact
+
+            z = self._candidate_latents(target, cache, budget_per_target,
+                                        t_rng)
+            decode_into_pool(z, temperature_sweep, t_rng)
+            best, best_sim, best_exact = score()
+
+            fine_n = max(budget_per_target // 2, 8)
+            for r in range(refine_rounds):
+                if best_exact or not best:
+                    break
+                all_z = np.concatenate(pool_z)
+                cen = jnp.asarray(
+                    all_z[np.asarray(by_formula[best])].mean(axis=0))
+                fine = perturb(jnp.tile(cen[None], (fine_n, 1)),
+                               jax.random.fold_in(t_rng, 100 + r),
+                               0.01 * (r + 1))
+                decode_into_pool(fine, (0.0, 0.3),
+                                 jax.random.fold_in(t_rng, 200 + r))
+                best, best_sim, best_exact = score()
+
             consistent = True
             cons_info = None
             if check_consistency and best:
+                all_z = np.concatenate(pool_z)
                 cen = jnp.asarray(
-                    z_np[np.asarray(by_formula[best])].mean(axis=0))[None]
+                    all_z[np.asarray(by_formula[best])].mean(axis=0))[None]
                 c = self.consistency_check(cen)
                 consistent = not (c['sc_tc_mismatch'][0]
                                   or c['sc_family_mismatch'][0]

@@ -44,6 +44,8 @@ def main():
     p.add_argument('run_dir', nargs='?', default='outputs')
     args = p.parse_args()
     run = Path(args.run_dir)
+    if run.is_file():          # accept a direct path to phase2_log.jsonl
+        run = run.parent
 
     rows = load_jsonl(run / 'phase2_log.jsonl')
     discoveries = load_jsonl(run / 'phase2_discoveries.jsonl')
@@ -97,8 +99,8 @@ def main():
     print(f"\n{' DISCOVERIES ':=^62}")
     print(f'  novel validated formulas: {len(discoveries)}')
     for d in discoveries[-10:]:
-        meta = d.get('meta') or {}
-        print(f"    {d.get('formula', '?'):<40} epoch {meta.get('epoch', '?')}")
+        ep = d.get('epoch', (d.get('meta') or {}).get('epoch', '?'))
+        print(f"    {d.get('formula', '?'):<40} sub-epoch {ep}")
 
     hpath = run / 'holdout_results.json'
     if hpath.exists():

@@ -59,22 +59,41 @@ class SuperconductorDiscoveryPipeline:
 
     def decode_latents(self, z: jnp.ndarray, temperature: float = 0.0,
                        rng: Optional[jax.Array] = None) -> List[str]:
-        """z -> formulas via encoder heads + batched KV-cache decode."""
-        enc_heads = self.encoder.apply(self.enc_params, z,
-                                       method=MaterialsEncoder.decode)
-        # assemble decoder conditioning from z alone (inference path: the
-        # fraction/hp/sc/competence heads read z directly)
-        full = self._full_heads(z)
-        gcfg = GenerationConfig(
-            max_len=self.decoder.cfg.max_len, temperature=temperature,
-            stop_boost=10.0, hard_stop_threshold=0.8,
-            use_type_masking=self.type_masks is not None)
-        out = generate_with_kv_cache(
-            self.decoder, self.dec_params, z, full['stoich'],
-            full['heads_vec'],
-            rng if rng is not None else jax.random.PRNGKey(0), gcfg,
-            type_masks=self.type_masks)
-        return [self.tokenizer.decode(t) for t in np.asarray(out['tokens'])]
+        """z -> formulas via encoder heads + batched KV-cache decode.
+
+        The whole head-assembly + rollout is ONE jitted program per
+        sampling mode (greedy / sampled; temperature enters traced so
+        temperature sweeps share the sampled compile).  Un-jitted, the
+        memory/head applies dispatch eagerly per call — dozens of
+        round-trips over a remote TPU tunnel per holdout-search target.
+        """
+        greedy = temperature < 0.01
+        key = ('decode', greedy)
+        if not hasattr(self, '_jit_cache'):
+            self._jit_cache = {}
+        if key not in self._jit_cache:
+            gcfg = GenerationConfig(
+                max_len=self.decoder.cfg.max_len,
+                temperature=0.0 if greedy else 1.0,
+                stop_boost=10.0, hard_stop_threshold=0.8,
+                use_type_masking=self.type_masks is not None)
+
+            @jax.jit
+            def run(enc_params, dec_params, z, rng, temp):
+                full = self.encoder.apply(
+                    enc_params, z, method=MaterialsEncoder.heads_from_z)
+                out = generate_with_kv_cache(
+                    self.decoder, dec_params, z, full['stoich'],
+                    full['heads_vec'], rng, gcfg,
+                    type_masks=self.type_masks,
+                    temperature=None if greedy else temp)
+                return out['tokens']
+            self._jit_cache[key] = run
+        toks = self._jit_cache[key](
+            self.enc_params, self.dec_params, z,
+            rng if rng is not None else jax.random.PRNGKey(0),
+            jnp.asarray(max(temperature, 1e-3), jnp.float32))
+        return [self.tokenizer.decode(t) for t in np.asarray(toks)]
 
     def _full_heads(self, z: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Inference-mode head assembly from z (no input features)."""

@@ -57,6 +57,10 @@ def main():
     ds = load_dataset(args.csv, max_len=mcfg.max_len, tokenizer=tokenizer,
                       limit=args.limit)
     tcfg = TrainConfig(max_formula_len=mcfg.max_len)
+    # reproduce the training run's decode gating (stop boost, type masking,
+    # ...) rather than silently using defaults
+    for k, v in (meta.get('eval_gating') or {}).items():
+        setattr(tcfg, k, v)
     luts = build_luts(tokenizer)
 
     encoder = MaterialsEncoder(mcfg)

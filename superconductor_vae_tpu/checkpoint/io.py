@@ -75,6 +75,14 @@ def save_checkpoint(root: str | Path, state, mcfg: ModelConfig, tcfg,
         'model_config': dataclasses.asdict(mcfg),
         'manifest': build_manifest(mcfg, tcfg),
         'controllers': controllers or {},
+        # decode-gating knobs, so offline eval (scripts/evaluate.py)
+        # reproduces the training-time generation settings exactly
+        'eval_gating': {
+            'stop_boost': tcfg.stop_boost,
+            'hard_stop_threshold': tcfg.hard_stop_threshold,
+            'site_dup_threshold': tcfg.site_dup_threshold,
+            'use_type_masking_ar': tcfg.use_type_masking_ar,
+        },
     }
     (path / 'meta.json').write_text(json.dumps(meta, indent=2, default=str))
     return path

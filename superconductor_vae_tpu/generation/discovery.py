@@ -96,12 +96,15 @@ class SuperconductorDiscoveryPipeline:
         return [self.tokenizer.decode(t) for t in np.asarray(toks)]
 
     def _full_heads(self, z: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """Inference-mode head assembly from z (no input features)."""
-        @jax.jit
-        def run(enc_params, z):
-            return self.encoder.apply(enc_params, z,
-                                      method=MaterialsEncoder.heads_from_z)
-        return run(self.enc_params, z)
+        """Inference-mode head assembly from z (no input features).
+        Jit cached on the instance (a fresh jax.jit per call retraces)."""
+        if not hasattr(self, '_jit_cache'):
+            self._jit_cache = {}
+        if 'heads' not in self._jit_cache:
+            self._jit_cache['heads'] = jax.jit(
+                lambda ep, zz: self.encoder.apply(
+                    ep, zz, method=MaterialsEncoder.heads_from_z))
+        return self._jit_cache['heads'](self.enc_params, z)
 
     def run(self, n_candidates: int = 256, seed: int = 0,
             strategies: tuple = ('clusters', 'gradient', 'interpolation',

@@ -121,9 +121,12 @@ class HoldoutSearch:
         bucket.  One vectorized heads_from_z pass instead of the reference's
         per-head per-batch loop.
         """
-        heads = jax.jit(lambda ep, zz: self.pipe.encoder.apply(
-            ep, zz, method=MaterialsEncoder.heads_from_z))(
-            self.pipe.enc_params, z)
+        if not hasattr(self, '_heads_fn'):
+            # cached — a fresh jax.jit per call retraces encoder heads for
+            # every one of the 45 targets
+            self._heads_fn = jax.jit(lambda ep, zz: self.pipe.encoder.apply(
+                ep, zz, method=MaterialsEncoder.heads_from_z))
+        heads = self._heads_fn(self.pipe.enc_params, z)
         tc_k = np.asarray(self.pipe.ds.norm_stats.tc_to_kelvin(
             np.asarray(heads['tc_pred'], np.float64)))
         sc_p = np.asarray(jax.nn.sigmoid(heads['sc_pred']))
@@ -164,26 +167,30 @@ class HoldoutSearch:
 
             pool_z: List[np.ndarray] = []      # latent pool, concatenated
             by_formula: Dict[str, list] = {}   # formula -> latent pool rows
+            scores: Dict[str, tuple] = {}      # formula -> (sim, is_exact),
+                                               # computed once at insertion
 
             def decode_into_pool(zc, temps, rng_):
                 offset = sum(len(p) for p in pool_z)
                 pool_z.append(np.asarray(zc))
-                m = zc.shape[0]
                 for s, temp in enumerate(temps):
                     fs = self.pipe.decode_latents(
                         zc, temperature=temp,
                         rng=jax.random.fold_in(rng_, s))
                     for j, f in enumerate(fs):
                         if f:
-                            by_formula.setdefault(f, []).append(
-                                offset + (j % m))
+                            by_formula.setdefault(f, []).append(offset + j)
+                            if f not in scores:
+                                is_exact = (
+                                    tkey is not None
+                                    and canonical_composition_key(f) == tkey)
+                                sim = (1.0 if is_exact
+                                       else element_similarity(f, target))
+                                scores[f] = (sim, is_exact)
 
             def score():
                 best, best_sim, best_exact = '', 0.0, False
-                for f in by_formula:
-                    is_exact = (tkey is not None
-                                and canonical_composition_key(f) == tkey)
-                    sim = 1.0 if is_exact else element_similarity(f, target)
+                for f, (sim, is_exact) in scores.items():
                     if sim > best_sim or (is_exact and not best_exact):
                         best, best_sim, best_exact = f, sim, is_exact
                 return best, best_sim, best_exact

@@ -126,6 +126,7 @@ class SelfSupervisedEpoch:
         self._enc_opt = None
         self._dec_opt = None
         self._update_fn = None
+        self._heads_fn = None
         self._epoch = 0
         # mode-collapse intervention + exact-drop safety state
         self._collapse_remaining = 0
@@ -214,9 +215,13 @@ class SelfSupervisedEpoch:
         b = z.shape[0]
         n_greedy = int(b * cfg.greedy_fraction)
 
-        # decoder conditioning from z alone (inference path)
-        heads = jax.jit(lambda ep, zz: self.encoder.apply(
-            ep, zz, method=MaterialsEncoder.heads_from_z))(enc_params, z)
+        # decoder conditioning from z alone (inference path); jit cached on
+        # the instance — a fresh jax.jit(lambda) per sub-epoch would retrace
+        # the encoder head assembly every time
+        if self._heads_fn is None:
+            self._heads_fn = jax.jit(lambda ep, zz: self.encoder.apply(
+                ep, zz, method=MaterialsEncoder.heads_from_z))
+        heads = self._heads_fn(enc_params, z)
         stoich, heads_vec = heads['stoich'], heads['heads_vec']
 
         # exploration temperature; boosted while collapse intervention active

@@ -22,6 +22,9 @@ def main():
     p.add_argument('--csv',
                    default='/root/reference/data/processed/new_sc_datasets.csv')
     p.add_argument('--budget', type=int, default=200)
+    p.add_argument('--refine-rounds', type=int, default=2,
+                   help='zoom-in sweeps around the best candidate')
+    p.add_argument('--seed', type=int, default=0)
     p.add_argument('--n-targets', type=int, default=None)
     p.add_argument('--cpu', action='store_true')
     p.add_argument('--out', default='outputs/holdout_results.json')
@@ -52,7 +55,9 @@ def main():
         tokenizer, ds, type_masks=jnp.asarray(tokenizer.type_masks))
     search = HoldoutSearch(pipe)
     targets = search.targets[: args.n_targets] if args.n_targets else None
-    results = search.search(budget_per_target=args.budget, targets=targets)
+    results = search.search(budget_per_target=args.budget, targets=targets,
+                            refine_rounds=args.refine_rounds,
+                            seed=args.seed)
     summary = HoldoutSearch.summarize(results)
     print(json.dumps(summary, indent=2))
 

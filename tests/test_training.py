@@ -238,6 +238,14 @@ def test_checkpoint_roundtrip(tmp_path):
     restored, meta = load_checkpoint(path)
     assert meta['epoch'] == 3
     assert check_manifest_drift(meta['manifest'], mcfg, tcfg) == []
+    # decode-gating knobs persist so offline eval reproduces training-time
+    # generation settings (scripts/evaluate.py)
+    assert meta['eval_gating'] == {
+        'stop_boost': tcfg.stop_boost,
+        'hard_stop_threshold': tcfg.hard_stop_threshold,
+        'site_dup_threshold': tcfg.site_dup_threshold,
+        'use_type_masking_ar': tcfg.use_type_masking_ar,
+    }
     # params identical
     orig = jax.tree.leaves(state.enc_params)
     rest = jax.tree.leaves(restored['enc_params'])

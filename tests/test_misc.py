@@ -169,3 +169,17 @@ def test_debug_sanitizers():
             jax.jit(loss)(jnp.array([-1.0]))
     finally:
         jax.config.update('jax_debug_nans', prev)
+
+
+def test_resilient_metrics_path():
+    import importlib.util
+    from pathlib import Path
+    spec = importlib.util.spec_from_file_location(
+        'train_resilient',
+        Path(__file__).resolve().parents[1] / 'scripts' / 'train_resilient.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._metrics_path(['--output', 'outputs/x']) == \
+        Path('outputs/x/training_metrics.csv')
+    assert mod._metrics_path(['--output=o2']) == Path('o2/training_metrics.csv')
+    assert mod._metrics_path([]) == Path('outputs/training_metrics.csv')

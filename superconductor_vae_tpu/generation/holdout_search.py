@@ -33,8 +33,8 @@ from ..models import MaterialsEncoder, FormulaDecoder
 from ..tokenizer import FractionAwareTokenizer
 from .discovery import SuperconductorDiscoveryPipeline
 from .latent import (
-    element_jaccard_neighbors, interpolation_sweep, pca_components, perturb,
-    slerp,
+    element_anchored_blend, element_jaccard_neighbors, interpolation_sweep,
+    pca_components, perturb, slerp,
 )
 
 
@@ -93,8 +93,28 @@ class HoldoutSearch:
             nbrs = np.argsort(-cache.tc_kelvin)[:8]
         z_n = jnp.asarray(cache.z[nbrs])
         anchor = z_n[0]
-        per = max(budget // 5, 4)
-        k = jax.random.split(rng, 5)
+        k = jax.random.split(rng, 6)
+
+        # dopant anchoring: the dominant miss mode is DROPPED minority
+        # elements (e.g. Mg(97/100)Na(3/100)B2 -> B2Mg) — Jaccard neighbors
+        # rarely contain the dopant, so no base strategy can inject it.
+        # For target elements absent from the anchor's own formula, blend
+        # the anchor with corpus rows that DO contain them
+        # (reference: holdout strategies + phase-2 element anchoring,
+        # self_supervised.py ZSpaceSampler strategy 4)
+        anchor_presence = self.presence[nbrs[0]]
+        missing = np.flatnonzero(tgt_presence & ~anchor_presence)
+        per = max(budget // (6 if len(missing) else 5), 4)
+        dope_parts = []
+        if len(missing):
+            per_el = max(per // len(missing), 2)
+            for j, ez in enumerate(missing):
+                rows = np.flatnonzero(self.presence[:, ez])
+                if len(rows) == 0:
+                    continue
+                dope_parts.append(element_anchored_blend(
+                    anchor, jnp.asarray(cache.z[rows[:64]]),
+                    jax.random.fold_in(k[5], j), per_el, sigma=0.02))
 
         parts = [perturb(jnp.tile(anchor[None], (per, 1)), k[0], 0.05)]
         if len(z_n) >= 2:
@@ -112,6 +132,7 @@ class HoldoutSearch:
                 jax.random.normal(k[3], (per, 4))) * std[None] * 0.5
             parts.append(jnp.asarray(
                 np.asarray(anchor)[None] + mags @ comps))
+        parts += dope_parts
         return jnp.concatenate(parts, axis=0)[:budget]
 
     def consistency_check(self, z: jnp.ndarray) -> Dict[str, np.ndarray]:

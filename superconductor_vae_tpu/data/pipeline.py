@@ -250,8 +250,10 @@ def load_dataset(
             return _load_cache(cache_file)
 
     df = pd.read_csv(csv_path)
-    if limit:
-        df = df.iloc[:limit].reset_index(drop=True)
+    # NOTE: ``limit`` is applied AFTER normalization (below) so limited
+    # loads (smoke tests, scripts/evaluate.py --limit) see the same
+    # full-corpus Tc/Magpie statistics as training — subset-derived stats
+    # shift every encoder input and silently wreck eval numbers
 
     formulas = df['formula'].astype(str).tolist()
     tc_raw = df['Tc'].fillna(0.0).values.astype(np.float64)
@@ -302,6 +304,11 @@ def load_dataset(
     mg_mean = magpie[stats_rows].mean(axis=0)
     mg_std = magpie[stats_rows].std(axis=0) + 1e-8
     magpie = (magpie - mg_mean) / mg_std
+
+    if limit:
+        formulas = formulas[:limit]
+        tc, tc_raw, is_sc = tc[:limit], tc_raw[:limit], is_sc[:limit]
+        hp, label, magpie = hp[:limit], label[:limit], magpie[:limit]
 
     # Tokenize + parse compositions — native C++ fast path with Python
     # fallback (superconductor_vae_tpu/native)

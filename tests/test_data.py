@@ -78,9 +78,15 @@ def test_real_csv_loading(tmp_path):
     assert ds.magpie_dim > 100
     assert np.isfinite(ds.magpie).all()
     assert np.isfinite(ds.tc).all()
-    # SC-only z-score: mean of SC tc ~ 0
-    sc = ds.is_sc == 1
-    assert abs(ds.tc[sc].mean()) < 0.2
+    # normalization stats come from the FULL corpus even under limit, so
+    # subset loads see the same input distribution as training (a limited
+    # eval with subset-derived stats silently shifts every encoder input)
+    full = load_dataset(REAL_CSV, max_len=30, cache_dir=tmp_path)
+    assert ds.norm_stats.tc_mean == pytest.approx(full.norm_stats.tc_mean)
+    assert ds.norm_stats.tc_std == pytest.approx(full.norm_stats.tc_std)
+    sc_full = full.is_sc == 1
+    assert abs(full.tc[sc_full].mean()) < 0.2   # SC-only z-score on full
+    np.testing.assert_allclose(ds.magpie[0], full.magpie[0], atol=1e-6)
     # cache round-trip
     ds2 = load_dataset(REAL_CSV, max_len=30, cache_dir=tmp_path, limit=300)
     np.testing.assert_array_equal(ds.tokens, ds2.tokens)

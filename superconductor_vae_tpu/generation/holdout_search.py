@@ -34,7 +34,7 @@ from ..tokenizer import FractionAwareTokenizer
 from .discovery import SuperconductorDiscoveryPipeline
 from .latent import (
     element_anchored_blend, element_jaccard_neighbors, interpolation_sweep,
-    pca_components, perturb, slerp,
+    lerp, pca_components, perturb, slerp,
 )
 
 
@@ -93,7 +93,33 @@ class HoldoutSearch:
             nbrs = np.argsort(-cache.tc_kelvin)[:8]
         z_n = jnp.asarray(cache.z[nbrs])
         anchor = z_n[0]
-        k = jax.random.split(rng, 6)
+        k = jax.random.split(rng, 7)
+
+        # same-element-set manifold sweep: corpus rows with the IDENTICAL
+        # element set differ from the target only in fractions, so dense
+        # interpolation between pairs of them (plus tight perturbation)
+        # walks the fraction manifold directly — the dominant miss mode is
+        # right-elements / wrong-subscripts (reference analogue: the
+        # targeted search's doping-series interpolation,
+        # holdout_search_targeted.py:441-545)
+        same_set = np.flatnonzero((self.presence == tgt_presence).all(axis=1))
+        same_parts = []
+        if len(same_set) >= 1:
+            z_s = jnp.asarray(cache.z[same_set[:24]])
+            n_pair = max(budget // 8, 8)
+            if len(z_s) >= 2:
+                ii = jax.random.randint(k[6], (n_pair,), 0, len(z_s))
+                jj = jax.random.randint(
+                    jax.random.fold_in(k[6], 1), (n_pair,), 0, len(z_s))
+                ts = jax.random.uniform(
+                    jax.random.fold_in(k[6], 2), (n_pair,),
+                    minval=-0.25, maxval=1.25)   # extrapolate past endpoints
+                same_parts.append(jax.vmap(
+                    lambda i, j, t: lerp(z_s[i], z_s[j], t))(ii, jj, ts))
+            same_parts.append(perturb(
+                z_s[jax.random.randint(jax.random.fold_in(k[6], 3),
+                                       (n_pair,), 0, len(z_s))],
+                jax.random.fold_in(k[6], 4), 0.03))
 
         # dopant anchoring: the dominant miss mode is DROPPED minority
         # elements (e.g. Mg(97/100)Na(3/100)B2 -> B2Mg) — Jaccard neighbors
@@ -133,7 +159,9 @@ class HoldoutSearch:
             parts.append(jnp.asarray(
                 np.asarray(anchor)[None] + mags @ comps))
         parts += dope_parts
-        return jnp.concatenate(parts, axis=0)[:budget]
+        # same-set sweeps go FIRST so the [:budget] clip never drops them —
+        # they are the highest-yield candidates when they exist
+        return jnp.concatenate(same_parts + parts, axis=0)[:budget]
 
     def consistency_check(self, z: jnp.ndarray) -> Dict[str, np.ndarray]:
         """All-head self-consistency over candidate latents

@@ -144,7 +144,7 @@ class SelfSupervisedEpoch:
     def sample_latents(self, z_cache: np.ndarray, rng: jax.Array) -> jnp.ndarray:
         n = self.cfg.n_samples
         if self.coverage.centers is None:
-            self.coverage.fit(z_cache)
+            self.coverage.fit(z_cache, method='hdbscan')
         weights = self.coverage.sampling_weights()
         host_rng = np.random.default_rng(int(jax.random.randint(rng, (), 0, 2**30)))
         # coverage-weighted anchor choice: sample clusters, then members
@@ -247,8 +247,11 @@ class SelfSupervisedEpoch:
         is_explore = np.arange(b) >= n_greedy
         formulas = [self.tokenizer.decode(t) for t in tokens_all]
 
-        # filter: parse + chemical + physics validation
+        # filter: parse + chemical + physics validation.  Per-candidate
+        # quality (validator score, zeroed on rejection) feeds the coverage
+        # tracker so sampling favors productive latent regions.
         accepted_idx, accepted = [], []
+        cand_quality = np.zeros(len(formulas), np.float32)
         for i, f in enumerate(formulas):
             if not f:
                 continue
@@ -256,7 +259,9 @@ class SelfSupervisedEpoch:
             if not v.is_valid or v.score < 0.3:
                 continue
             if not self.physics.validate(f).is_plausible:
+                cand_quality[i] = 0.25 * v.score
                 continue
+            cand_quality[i] = v.score
             accepted_idx.append(i)
             accepted.append(f)
 
@@ -272,6 +277,12 @@ class SelfSupervisedEpoch:
 
         novel = [f for f in set(accepted) if self.tracker.record(
             f, {'epoch': self._epoch})]
+
+        # coverage sees EVERY sampled latent with its quality — visits mark
+        # explored regions, quality marks which of them produce valid chem
+        # (recorded before the no-accepts early return so barren regions
+        # are down-weighted too)
+        self.coverage.record_visits(np.asarray(z), quality=cand_quality)
 
         metrics = {
             'n_sampled': len(formulas),
@@ -301,7 +312,6 @@ class SelfSupervisedEpoch:
         sel = np.asarray(accepted_idx)[pad_pos]
         acc = jnp.asarray(sel)
         z_acc = z[acc]
-        self.coverage.record_visits(np.asarray(z[jnp.asarray(accepted_idx)]))
 
         # diversity bonus: first-seen formulas earn extra REINFORCE reward
         div_bonus = jnp.asarray(div_np[pad_pos])

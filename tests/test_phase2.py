@@ -36,6 +36,40 @@ def test_coverage_tracker():
     assert ct.stats()['visited_fraction'] > 0
 
 
+def test_coverage_quality_weighting():
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(200, 16))
+    ct = CoverageTracker(k=4, quality_alpha=1.0)
+    ct.fit(z)
+    # equal visits to clusters 0 and 1, but cluster 0 yields garbage
+    v0 = ct.centers[0][None].repeat(20, axis=0)
+    v1 = ct.centers[1][None].repeat(20, axis=0)
+    ct.record_visits(np.concatenate([v0, v1]),
+                     quality=np.concatenate([np.zeros(20), np.ones(20)]))
+    w = ct.sampling_weights()
+    assert w[1] > w[0]                     # productive cluster favored
+    # unseen clusters keep the neutral prior, above the zero-quality one
+    assert w[2] > w[0]
+    # alpha=0 recovers pure coverage weighting
+    ct.quality_alpha = 0.0
+    w_cov = ct.sampling_weights()
+    np.testing.assert_allclose(w_cov[0], w_cov[1], rtol=1e-9)
+
+
+def test_coverage_hdbscan_fit():
+    rng = np.random.default_rng(1)
+    # two well-separated blobs -> HDBSCAN should find ~2 natural clusters,
+    # or fall back to k-means centers; either way state must be usable
+    z = np.concatenate([rng.normal(0, 0.3, size=(80, 8)),
+                        rng.normal(6, 0.3, size=(80, 8))])
+    ct = CoverageTracker(k=8)
+    ct.fit(z, method='hdbscan')
+    assert ct.centers is not None and len(ct.centers) >= 2
+    assert ct.visits.shape == (len(ct.centers),)
+    ct.record_visits(z[:10], quality=np.full(10, 0.9))
+    assert ct.sampling_weights().shape == (len(ct.centers),)
+
+
 def test_mastery_tracker():
     mt = MasteryTracker(10)
     idx = np.arange(5)

@@ -27,6 +27,9 @@ def main():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--n-targets', type=int, default=None)
     p.add_argument('--cpu', action='store_true')
+    p.add_argument('--no-guided', action='store_true',
+                   help='disable head-guided latent optimization')
+    p.add_argument('--guided-starts', type=int, default=16)
     p.add_argument('--out', default='outputs/holdout_results.json')
     args = p.parse_args()
 
@@ -57,6 +60,8 @@ def main():
     targets = search.targets[: args.n_targets] if args.n_targets else None
     results = search.search(budget_per_target=args.budget, targets=targets,
                             refine_rounds=args.refine_rounds,
+                            guided=not args.no_guided,
+                            guided_starts=args.guided_starts,
                             seed=args.seed)
     summary = HoldoutSearch.summarize(results)
     print(json.dumps(summary, indent=2))

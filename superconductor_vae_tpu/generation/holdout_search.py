@@ -83,7 +83,129 @@ class HoldoutSearch:
                     / 'data' / 'GENERATIVE_HOLDOUT_DO_NOT_TRAIN.json')
         blob = json.loads(path.read_text())
         self.targets = [s['formula'] for s in blob['holdout_samples']]
+        self.target_tc = {s['formula']: float(s['Tc'])
+                          for s in blob['holdout_samples'] if 'Tc' in s}
         self.presence = element_presence(pipeline.ds.formulas)
+
+    # ---- head-guided latent optimization -----------------------------------
+    def _target_head_arrays(self, target: str):
+        """Supervision-convention arrays for the guided objective: appearance
+        -order normalized fractions padded to 12 slots + mask (the fraction
+        head's training target, data/pipeline.py:322-344), element count,
+        and the target Tc in normalized units."""
+        from ..data.pipeline import MAX_ELEMENTS
+        comp = parse_formula_composition(target)
+        f_star = np.zeros(MAX_ELEMENTS, np.float32)
+        m_star = np.zeros(MAX_ELEMENTS, np.float32)
+        total = sum(comp.values()) or 1.0
+        for j, amt in enumerate(list(comp.values())[:MAX_ELEMENTS]):
+            f_star[j] = amt / total
+            m_star[j] = 1.0
+        tc_k = self.target_tc.get(target)
+        tc_star = float(self.pipe.ds.norm_stats.kelvin_to_norm(
+            np.asarray(tc_k or 0.0, np.float64)))
+        tc_w = np.float32(0.25 if tc_k is not None else 0.0)
+
+        # Magpie head target: the corpus's feature columns come from
+        # chem/featurize.composition_features, so the target's vector can be
+        # computed in-layout; only columns with invertible normalization
+        # participate (skewed columns are rank-gaussianized against the
+        # corpus, data/pipeline.py:295-301, and cannot be reproduced for a
+        # fresh formula)
+        ns = self.pipe.ds.norm_stats
+        mdim = self.pipe.ds.magpie_dim
+        mg_star = np.zeros(mdim, np.float32)
+        mg_mask = np.zeros(mdim, np.float32)
+        from ..chem.featurize import formula_features
+        raw = formula_features(target)
+        if len(raw) == mdim and np.asarray(ns.magpie_mean).shape[0] == mdim:
+            mg_star = ((raw - np.asarray(ns.magpie_mean))
+                       / np.asarray(ns.magpie_std)).astype(np.float32)
+            mg_mask = np.ones(mdim, np.float32)
+            mg_mask[list(ns.magpie_skewed_indices)] = 0.0
+            mg_star = mg_star * mg_mask
+        return (f_star, m_star, np.float32(len(comp)), np.float32(tc_star),
+                tc_w, mg_star, mg_mask)
+
+    def head_guided_latents(self, target: str, z_init: jnp.ndarray,
+                            steps: int = 160, lr: float = 0.08,
+                            trust: float = 2e-3,
+                            n_snapshots: int = 4) -> jnp.ndarray:
+        """Navigate latents by gradient: descend z so the encoder's OWN heads
+        predict the target's known properties (fractions, element count, Tc,
+        SC), starting from corpus anchors.
+
+        The reference's targeted holdout search navigates with the target's
+        composition/Tc as anchors (doping-series interpolation, Tc-matched
+        neighbors; holdout_search_targeted.py:200-545) — this is the same
+        information, but the navigation is exact: the fraction head is the
+        decoder's stoichiometry conditioning, so z's whose heads match the
+        target fractions decode to those fractions with high probability.
+        A trust-region penalty tethers each trajectory to its anchor so z
+        stays on the data manifold instead of finding adversarial latents
+        whose heads lie.
+
+        Returns ``[n_snapshots * len(z_init), latent]``: trajectory snapshots
+        (different decode basins along the path), final state last.
+        """
+        import optax
+        (f_star, m_star, n_star, tc_star, tc_w,
+         mg_star, mg_mask) = self._target_head_arrays(target)
+        key = ('guided', len(z_init), steps, n_snapshots)
+        if not hasattr(self, '_jit_cache'):
+            self._jit_cache = {}
+        if key not in self._jit_cache:
+            enc = self.pipe.encoder
+            snap_every = max(steps // n_snapshots, 1)
+            tx = optax.adam(lr)
+
+            def obj(z, z0, fs, ms, ns, ts, tw, mgs, mgm):
+                h = enc.apply(self.pipe.enc_params, z,
+                              method=MaterialsEncoder.heads_from_z)
+                lf = ((h['fraction_pred'] - fs) ** 2 * ms).sum(-1)
+                lc = 0.05 * (h['element_count_pred'] - ns) ** 2
+                lt = tw * (h['tc_pred'] - ts) ** 2
+                lsc = 0.05 * jax.nn.softplus(-h['sc_pred'])
+                # element identity lives in the Magpie head (the fraction
+                # head has amounts only)
+                lm = 0.25 * ((h['magpie_pred'] * mgm - mgs) ** 2).sum(-1) \
+                    / jnp.clip(mgm.sum(), 1.0)
+                reg = trust * ((z - z0) ** 2).sum(-1)
+                return (lf + lc + lt + lsc + lm + reg).sum()
+
+            @jax.jit
+            def run(z0, fs, ms, ns, ts, tw, mgs, mgm):
+                def step(carry, i):
+                    z, opt_state = carry
+                    g = jax.grad(obj)(z, z0, fs, ms, ns, ts, tw, mgs, mgm)
+                    upd, opt_state = tx.update(g, opt_state, z)
+                    z = optax.apply_updates(z, upd)
+                    snap = jnp.where((i + 1) % snap_every == 0, 1, 0)
+                    return (z, opt_state), (snap, z)
+                (_, _), (snaps, traj) = jax.lax.scan(
+                    step, (z0, tx.init(z0)), jnp.arange(steps))
+                # gather the snapshot states (static count, fixed shapes)
+                idx = jnp.flatnonzero(snaps, size=n_snapshots,
+                                      fill_value=steps - 1)
+                return traj[idx].reshape(-1, z0.shape[-1])
+            self._jit_cache[key] = run
+        return self._jit_cache[key](
+            jnp.asarray(z_init), jnp.asarray(f_star), jnp.asarray(m_star),
+            jnp.asarray(n_star), jnp.asarray(tc_star), jnp.asarray(tc_w),
+            jnp.asarray(mg_star), jnp.asarray(mg_mask))
+
+    def _anchor_latents(self, target: str, cache, n: int = 16) -> jnp.ndarray:
+        """Fixed-count anchor set for guided navigation: same-element-set
+        rows first, then Jaccard neighbors, padded by repetition (fixed
+        shape keeps one jit compile across all 45 targets)."""
+        tgt_presence = element_presence([target])[0]
+        same = np.flatnonzero((self.presence == tgt_presence).all(axis=1))
+        nbrs = element_jaccard_neighbors(tgt_presence, self.presence, k=n)
+        idx = np.concatenate([same[:n], nbrs])[:n]
+        if len(idx) == 0:
+            idx = np.argsort(-cache.tc_kelvin)[:n]
+        idx = np.resize(idx, n)
+        return jnp.asarray(cache.z[idx])
 
     def _candidate_latents(self, target: str, cache, budget: int,
                            rng: jax.Array) -> jnp.ndarray:
@@ -197,6 +319,8 @@ class HoldoutSearch:
                temperature_sweep: tuple = (0.0, 0.7),
                check_consistency: bool = True,
                refine_rounds: int = 2,
+               guided: bool = True,
+               guided_starts: int = 16,
                log_fn=print) -> List[HoldoutResult]:
         """``refine_rounds``: zoom-in passes re-seeding a fine perturbation
         sweep from the best candidate's latent centroid (the reference's
@@ -247,6 +371,12 @@ class HoldoutSearch:
             z = self._candidate_latents(target, cache, budget_per_target,
                                         t_rng)
             decode_into_pool(z, temperature_sweep, t_rng)
+            if guided:
+                zg = self.head_guided_latents(
+                    target, self._anchor_latents(target, cache,
+                                                 n=guided_starts))
+                decode_into_pool(zg, (0.0,),
+                                 jax.random.fold_in(t_rng, 999))
             best, best_sim, best_exact = score()
 
             fine_n = max(budget_per_target // 2, 8)
@@ -261,6 +391,14 @@ class HoldoutSearch:
                                0.01 * (r + 1))
                 decode_into_pool(fine, (0.0, 0.3),
                                  jax.random.fold_in(t_rng, 200 + r))
+                if guided:
+                    # guided descent re-seeded from the current best basin
+                    zg = self.head_guided_latents(
+                        target, perturb(
+                            jnp.tile(cen[None], (guided_starts, 1)),
+                            jax.random.fold_in(t_rng, 300 + r), 0.01))
+                    decode_into_pool(zg, (0.0,),
+                                     jax.random.fold_in(t_rng, 400 + r))
                 best, best_sim, best_exact = score()
 
             consistent = True

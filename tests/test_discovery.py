@@ -210,3 +210,55 @@ class TestHoldoutSearch:
         summary = HoldoutSearch.summarize(results)
         assert summary['n_targets'] == 2
         assert 0 <= summary['mean_similarity'] <= 1
+
+    def test_head_guided_latents_descend(self, tmp_path):
+        """Guided navigation must reduce the encoder-head mismatch with the
+        target's composition (fractions/count), even on an untrained model."""
+        import json
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from superconductor_vae_tpu.models import MaterialsEncoder, FormulaDecoder
+        from superconductor_vae_tpu.models.config import tiny_test_config
+        from superconductor_vae_tpu.data import synthetic_dataset
+        from superconductor_vae_tpu.generation import SuperconductorDiscoveryPipeline
+        from superconductor_vae_tpu.generation.holdout_search import HoldoutSearch
+        from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+        cfg = tiny_test_config()
+        ds = synthetic_dataset(n=32, max_len=cfg.max_len, magpie_dim=cfg.magpie_dim)
+        tok = default_tokenizer(max_len=cfg.max_len)
+        rng = jax.random.PRNGKey(0)
+        enc = MaterialsEncoder(cfg)
+        eparams = enc.init(rng, jnp.asarray(ds.element_indices[:2]),
+                           jnp.asarray(ds.element_fractions[:2]),
+                           jnp.asarray(ds.element_mask[:2]),
+                           jnp.asarray(ds.magpie[:2]), jnp.asarray(ds.tc[:2]))
+        dec = FormulaDecoder(cfg)
+        dparams = dec.init(rng, jnp.zeros((2, cfg.latent_dim)),
+                           jnp.asarray(ds.tokens[:2]),
+                           jnp.zeros((2, cfg.stoich_input_dim)),
+                           jnp.zeros((2, cfg.heads_input_dim)))
+        pipe = SuperconductorDiscoveryPipeline(enc, dec, eparams, dparams, tok, ds)
+        holdout = {'holdout_samples': [
+            {'formula': 'YBa2Cu3O7', 'Tc': 92.0}]}
+        hpath = tmp_path / 'holdout.json'
+        hpath.write_text(json.dumps(holdout))
+        search = HoldoutSearch(pipe, holdout_path=hpath)
+
+        z0 = jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, cfg.latent_dim)).astype(np.float32))
+        zg = search.head_guided_latents('YBa2Cu3O7', z0, steps=60,
+                                        n_snapshots=2)
+        assert zg.shape == (8, cfg.latent_dim)
+        assert np.isfinite(np.asarray(zg)).all()
+
+        (f_star, m_star, n_star, tc_star, tc_w,
+         mg_star, mg_mask) = search._target_head_arrays('YBa2Cu3O7')
+        assert tc_w > 0
+
+        def frac_err(z):
+            h = enc.apply(eparams, z, method=MaterialsEncoder.heads_from_z)
+            return float((((h['fraction_pred'] - f_star) ** 2)
+                          * m_star).sum(-1).mean())
+        # final snapshots are the last len(z0) rows
+        assert frac_err(zg[-len(z0):]) < frac_err(z0)

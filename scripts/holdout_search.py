@@ -30,6 +30,10 @@ def main():
     p.add_argument('--no-guided', action='store_true',
                    help='disable head-guided latent optimization')
     p.add_argument('--guided-starts', type=int, default=16)
+    p.add_argument('--constrain-elements', action='store_true',
+                   help='restrict decode to the target element set '
+                        '(extended capability mode; NOT comparable to the '
+                        'reference holdout protocol)')
     p.add_argument('--out', default='outputs/holdout_results.json')
     args = p.parse_args()
 
@@ -62,6 +66,7 @@ def main():
                             refine_rounds=args.refine_rounds,
                             guided=not args.no_guided,
                             guided_starts=args.guided_starts,
+                            constrain_elements=args.constrain_elements,
                             seed=args.seed)
     summary = HoldoutSearch.summarize(results)
     print(json.dumps(summary, indent=2))

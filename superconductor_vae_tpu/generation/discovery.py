@@ -58,7 +58,8 @@ class SuperconductorDiscoveryPipeline:
         self.known = set(ds.formulas)
 
     def decode_latents(self, z: jnp.ndarray, temperature: float = 0.0,
-                       rng: Optional[jax.Array] = None) -> List[str]:
+                       rng: Optional[jax.Array] = None,
+                       type_masks: Optional[jnp.ndarray] = None) -> List[str]:
         """z -> formulas via encoder heads + batched KV-cache decode.
 
         The whole head-assembly + rollout is ONE jitted program per
@@ -79,20 +80,24 @@ class SuperconductorDiscoveryPipeline:
                 use_type_masking=self.type_masks is not None)
 
             @jax.jit
-            def run(enc_params, dec_params, z, rng, temp):
+            def run(enc_params, dec_params, z, rng, temp, tm):
                 full = self.encoder.apply(
                     enc_params, z, method=MaterialsEncoder.heads_from_z)
                 out = generate_with_kv_cache(
                     self.decoder, dec_params, z, full['stoich'],
                     full['heads_vec'], rng, gcfg,
-                    type_masks=self.type_masks,
+                    type_masks=tm,
                     temperature=None if greedy else temp)
                 return out['tokens']
             self._jit_cache[key] = run
+        tm = self.type_masks if type_masks is None else type_masks
+        if tm is None:
+            # masking disabled at trace time; pass a dummy traced constant
+            tm = jnp.zeros((1, 1), bool)
         toks = self._jit_cache[key](
             self.enc_params, self.dec_params, z,
             rng if rng is not None else jax.random.PRNGKey(0),
-            jnp.asarray(max(temperature, 1e-3), jnp.float32))
+            jnp.asarray(max(temperature, 1e-3), jnp.float32), tm)
         return [self.tokenizer.decode(t) for t in np.asarray(toks)]
 
     def _full_heads(self, z: jnp.ndarray) -> Dict[str, jnp.ndarray]:

@@ -104,7 +104,7 @@ class HoldoutSearch:
         tc_k = self.target_tc.get(target)
         tc_star = float(self.pipe.ds.norm_stats.kelvin_to_norm(
             np.asarray(tc_k or 0.0, np.float64)))
-        tc_w = np.float32(0.25 if tc_k is not None else 0.0)
+        tc_w = np.float32(0.5 if tc_k is not None else 0.0)
 
         # Magpie head target: the corpus's feature columns come from
         # chem/featurize.composition_features, so the target's vector can be
@@ -128,7 +128,7 @@ class HoldoutSearch:
                 tc_w, mg_star, mg_mask)
 
     def head_guided_latents(self, target: str, z_init: jnp.ndarray,
-                            steps: int = 160, lr: float = 0.08,
+                            steps: int = 240, lr: float = 0.08,
                             trust: float = 2e-3,
                             n_snapshots: int = 4) -> jnp.ndarray:
         """Navigate latents by gradient: descend z so the encoder's OWN heads
@@ -196,8 +196,12 @@ class HoldoutSearch:
 
     def _anchor_latents(self, target: str, cache, n: int = 16) -> jnp.ndarray:
         """Fixed-count anchor set for guided navigation: same-element-set
-        rows first, then Jaccard neighbors, padded by repetition (fixed
-        shape keeps one jit compile across all 45 targets)."""
+        rows first, then Jaccard neighbors — each neighbor missing target
+        elements gets pre-blended 30% toward the centroid of corpus rows
+        that contain the missing element, so every start already points at
+        the full element set (descent then only has to fix fractions).
+        Padded by repetition; fixed shape keeps one jit compile across all
+        45 targets."""
         tgt_presence = element_presence([target])[0]
         same = np.flatnonzero((self.presence == tgt_presence).all(axis=1))
         nbrs = element_jaccard_neighbors(tgt_presence, self.presence, k=n)
@@ -205,7 +209,22 @@ class HoldoutSearch:
         if len(idx) == 0:
             idx = np.argsort(-cache.tc_kelvin)[:n]
         idx = np.resize(idx, n)
-        return jnp.asarray(cache.z[idx])
+        z = np.array(np.asarray(cache.z[idx], np.float32))
+        for i, row in enumerate(idx):
+            missing = np.flatnonzero(tgt_presence & ~self.presence[row])
+            for ez in missing:
+                rows = np.flatnonzero(self.presence[:, ez])
+                if len(rows):
+                    # rank element-carrying rows by set overlap with the
+                    # target so the blend direction points at e.g. Y-CUPRATES
+                    # for a missing Y, not the centroid of every Y compound
+                    ov = (self.presence[rows] & tgt_presence).sum(1) \
+                        / np.maximum((self.presence[rows]
+                                      | tgt_presence).sum(1), 1)
+                    best = rows[np.argsort(-ov)[:16]]
+                    cen = np.asarray(cache.z[best], np.float32).mean(0)
+                    z[i] = 0.7 * z[i] + 0.3 * cen
+        return jnp.asarray(z)
 
     def _candidate_latents(self, target: str, cache, budget: int,
                            rng: jax.Array) -> jnp.ndarray:
@@ -285,6 +304,27 @@ class HoldoutSearch:
         # they are the highest-yield candidates when they exist
         return jnp.concatenate(same_parts + parts, axis=0)[:budget]
 
+    def _element_type_masks(self, target: str) -> Optional[jnp.ndarray]:
+        """Type masks with the ELEMENT row restricted to the target's element
+        set — the decode-time constraint for the *element-constrained* search
+        mode. Builds on the decoder's hard type masking (reference:
+        autoregressive_decoder.py:1415-1422); the constrained mode is an
+        EXTENSION (targeted candidate generation for a known chemical
+        system), reported separately from the reference-comparable
+        unconstrained number."""
+        tok = self.pipe.tokenizer
+        if tok.type_masks is None:
+            return None
+        from ..tokenizer.fraction_tokenizer import (
+            ELEMENT_TOKEN_START, TOKEN_TYPE_ELEMENT,
+        )
+        masks = np.array(tok.type_masks)
+        allowed = np.zeros(masks.shape[1], bool)
+        for el in parse_formula_composition(target):
+            allowed[ELEMENT_TOKEN_START + SYMBOL_TO_Z[el] - 1] = True
+        masks[TOKEN_TYPE_ELEMENT] &= allowed
+        return jnp.asarray(masks)
+
     def consistency_check(self, z: jnp.ndarray) -> Dict[str, np.ndarray]:
         """All-head self-consistency over candidate latents
         (reference: holdout_search_targeted.py:593-775 run_consistency_check):
@@ -321,6 +361,7 @@ class HoldoutSearch:
                refine_rounds: int = 2,
                guided: bool = True,
                guided_starts: int = 16,
+               constrain_elements: bool = False,
                log_fn=print) -> List[HoldoutResult]:
         """``refine_rounds``: zoom-in passes re-seeding a fine perturbation
         sweep from the best candidate's latent centroid (the reference's
@@ -343,13 +384,17 @@ class HoldoutSearch:
             scores: Dict[str, tuple] = {}      # formula -> (sim, is_exact),
                                                # computed once at insertion
 
+            tmask = (self._element_type_masks(target)
+                     if constrain_elements else None)
+
             def decode_into_pool(zc, temps, rng_):
                 offset = sum(len(p) for p in pool_z)
                 pool_z.append(np.asarray(zc))
                 for s, temp in enumerate(temps):
                     fs = self.pipe.decode_latents(
                         zc, temperature=temp,
-                        rng=jax.random.fold_in(rng_, s))
+                        rng=jax.random.fold_in(rng_, s),
+                        type_masks=tmask)
                     for j, f in enumerate(fs):
                         if f:
                             by_formula.setdefault(f, []).append(offset + j)

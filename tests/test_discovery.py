@@ -262,3 +262,44 @@ class TestHoldoutSearch:
                           * m_star).sum(-1).mean())
         # final snapshots are the last len(z0) rows
         assert frac_err(zg[-len(z0):]) < frac_err(z0)
+
+    def test_element_constrained_decode(self, tmp_path):
+        """constrain_elements mode must only emit target-set elements."""
+        import json
+        import jax, jax.numpy as jnp
+        from superconductor_vae_tpu.models import MaterialsEncoder, FormulaDecoder
+        from superconductor_vae_tpu.models.config import tiny_test_config
+        from superconductor_vae_tpu.data import synthetic_dataset
+        from superconductor_vae_tpu.data.pipeline import parse_formula_composition
+        from superconductor_vae_tpu.generation import SuperconductorDiscoveryPipeline
+        from superconductor_vae_tpu.generation.holdout_search import HoldoutSearch
+        from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+        cfg = tiny_test_config()
+        ds = synthetic_dataset(n=32, max_len=cfg.max_len, magpie_dim=cfg.magpie_dim)
+        tok = default_tokenizer(max_len=cfg.max_len)
+        rng = jax.random.PRNGKey(0)
+        enc = MaterialsEncoder(cfg)
+        eparams = enc.init(rng, jnp.asarray(ds.element_indices[:2]),
+                           jnp.asarray(ds.element_fractions[:2]),
+                           jnp.asarray(ds.element_mask[:2]),
+                           jnp.asarray(ds.magpie[:2]), jnp.asarray(ds.tc[:2]))
+        dec = FormulaDecoder(cfg)
+        dparams = dec.init(rng, jnp.zeros((2, cfg.latent_dim)),
+                           jnp.asarray(ds.tokens[:2]),
+                           jnp.zeros((2, cfg.stoich_input_dim)),
+                           jnp.zeros((2, cfg.heads_input_dim)))
+        pipe = SuperconductorDiscoveryPipeline(
+            enc, dec, eparams, dparams, tok, ds,
+            type_masks=jnp.asarray(tok.type_masks))
+        hpath = tmp_path / 'holdout.json'
+        hpath.write_text(json.dumps({'holdout_samples': [
+            {'formula': 'YBa2Cu3O7', 'Tc': 92.0}]}))
+        search = HoldoutSearch(pipe, holdout_path=hpath)
+        results = search.search(budget_per_target=16, refine_rounds=0,
+                                constrain_elements=True,
+                                log_fn=lambda *a: None)
+        allowed = set(parse_formula_composition('YBa2Cu3O7'))
+        best = results[0].best_match
+        if best:
+            assert set(parse_formula_composition(best)) <= allowed, best

@@ -26,6 +26,10 @@ def main():
                    help='zoom-in sweeps around the best candidate')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--n-targets', type=int, default=None)
+    p.add_argument('--target-offset', type=int, default=0,
+                   help='start at this absolute holdout index (shard long '
+                        'campaigns across subprocesses; rng folds stay '
+                        'aligned with the unsharded run)')
     p.add_argument('--cpu', action='store_true')
     p.add_argument('--no-guided', action='store_true',
                    help='disable head-guided latent optimization')
@@ -34,6 +38,11 @@ def main():
                    help='restrict decode to the target element set '
                         '(extended capability mode; NOT comparable to the '
                         'reference holdout protocol)')
+    p.add_argument('--decode-chunk', type=int, default=2048,
+                   help='fixed decode batch (bounds KV-cache memory)')
+    p.add_argument('--sample-slice', type=int, default=4096,
+                   help='leading pool rows decoded at sampled temperatures')
+    p.add_argument('--sample-draws', type=int, default=2)
     p.add_argument('--out', default='outputs/holdout_results.json')
     args = p.parse_args()
 
@@ -61,12 +70,19 @@ def main():
         encoder, decoder, restored['enc_params'], restored['dec_params'],
         tokenizer, ds, type_masks=jnp.asarray(tokenizer.type_masks))
     search = HoldoutSearch(pipe)
-    targets = search.targets[: args.n_targets] if args.n_targets else None
+    lo = args.target_offset
+    hi = lo + args.n_targets if args.n_targets else len(search.targets)
+    targets = search.targets[lo:hi] if (lo, hi) != (0, len(search.targets)) \
+        else None
     results = search.search(budget_per_target=args.budget, targets=targets,
+                            target_offset=lo,
                             refine_rounds=args.refine_rounds,
                             guided=not args.no_guided,
                             guided_starts=args.guided_starts,
                             constrain_elements=args.constrain_elements,
+                            decode_chunk=args.decode_chunk,
+                            sample_slice=args.sample_slice,
+                            sample_draws=args.sample_draws,
                             seed=args.seed)
     summary = HoldoutSearch.summarize(results)
     print(json.dumps(summary, indent=2))

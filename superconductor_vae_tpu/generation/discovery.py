@@ -59,7 +59,8 @@ class SuperconductorDiscoveryPipeline:
 
     def decode_latents(self, z: jnp.ndarray, temperature: float = 0.0,
                        rng: Optional[jax.Array] = None,
-                       type_masks: Optional[jnp.ndarray] = None) -> List[str]:
+                       type_masks: Optional[jnp.ndarray] = None,
+                       chunk: Optional[int] = None) -> List[str]:
         """z -> formulas via encoder heads + batched KV-cache decode.
 
         The whole head-assembly + rollout is ONE jitted program per
@@ -67,6 +68,12 @@ class SuperconductorDiscoveryPipeline:
         temperature sweeps share the sampled compile).  Un-jitted, the
         memory/head applies dispatch eagerly per call — dozens of
         round-trips over a remote TPU tunnel per holdout-search target.
+
+        ``chunk``: decode in fixed-size chunks of this many latents (last
+        chunk padded by repetition) — bounds the KV-cache footprint for
+        reference-scale candidate pools (~30K latents/target,
+        scratch/HOLDOUT_SEARCH_TECHNIQUE_REPORT.md run-2 protocol) while
+        keeping a single compile across every call site.
         """
         greedy = temperature < 0.01
         key = ('decode', greedy)
@@ -94,11 +101,26 @@ class SuperconductorDiscoveryPipeline:
         if tm is None:
             # masking disabled at trace time; pass a dummy traced constant
             tm = jnp.zeros((1, 1), bool)
-        toks = self._jit_cache[key](
-            self.enc_params, self.dec_params, z,
-            rng if rng is not None else jax.random.PRNGKey(0),
-            jnp.asarray(max(temperature, 1e-3), jnp.float32), tm)
-        return [self.tokenizer.decode(t) for t in np.asarray(toks)]
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        temp = jnp.asarray(max(temperature, 1e-3), jnp.float32)
+        if chunk is None or len(z) <= chunk:
+            toks = self._jit_cache[key](
+                self.enc_params, self.dec_params, z, rng, temp, tm)
+            return [self.tokenizer.decode(t) for t in np.asarray(toks)]
+        out: List[str] = []
+        for i in range(0, len(z), chunk):
+            zc = z[i:i + chunk]
+            pad = chunk - len(zc)
+            if pad:
+                zc = jnp.concatenate([zc, jnp.tile(zc[-1:], (pad, 1))])
+            toks = self._jit_cache[key](
+                self.enc_params, self.dec_params, zc,
+                jax.random.fold_in(rng, i), temp, tm)
+            arr = np.asarray(toks)
+            if pad:
+                arr = arr[:chunk - pad]
+            out.extend(self.tokenizer.decode(t) for t in arr)
+        return out
 
     def _full_heads(self, z: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Inference-mode head assembly from z (no input features).

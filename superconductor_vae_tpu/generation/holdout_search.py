@@ -228,13 +228,21 @@ class HoldoutSearch:
 
     def _candidate_latents(self, target: str, cache, budget: int,
                            rng: jax.Array) -> jnp.ndarray:
+        """Candidate latent pool per target, mirroring the reference run-2
+        protocol (element-matched top-100 seeds; multi-scale perturbation /
+        pairwise lerp+slerp / centroid scaled walks / PCA walks —
+        scratch/HOLDOUT_SEARCH_TECHNIQUE_REPORT.md §3), plus two extensions
+        of ours: same-element-set manifold sweeps and dopant-anchored
+        blends.  The multi-scale perturbation block is sized LAST to exactly
+        fill ``budget`` so the final clip never drops a strategy."""
         tgt_presence = element_presence([target])[0]
-        nbrs = element_jaccard_neighbors(tgt_presence, self.presence, k=32)
+        nbrs = element_jaccard_neighbors(tgt_presence, self.presence, k=100)
         if len(nbrs) == 0:
             nbrs = np.argsort(-cache.tc_kelvin)[:8]
         z_n = jnp.asarray(cache.z[nbrs])
         anchor = z_n[0]
         k = jax.random.split(rng, 7)
+        latent_dim = z_n.shape[-1]
 
         # same-element-set manifold sweep: corpus rows with the IDENTICAL
         # element set differ from the target only in fractions, so dense
@@ -283,25 +291,71 @@ class HoldoutSearch:
                     anchor, jnp.asarray(cache.z[rows[:64]]),
                     jax.random.fold_in(k[5], j), per_el, sigma=0.02))
 
-        parts = [perturb(jnp.tile(anchor[None], (per, 1)), k[0], 0.05)]
+        parts: List[jnp.ndarray] = []
+
+        # pairwise interpolation between seed pairs, both lerp and slerp,
+        # with extrapolation past the endpoints (reference strategy 2 uses
+        # t in [0,1]; extrapolating reaches doping levels outside the
+        # anchors' span)
         if len(z_n) >= 2:
-            ts = jax.random.uniform(k[1], (per,))
-            idx = jax.random.randint(k[2], (per,), 1, len(z_n))
-            parts.append(jax.vmap(lambda t, i: slerp(anchor, z_n[i], t))(ts, idx))
-            parts.append(jax.vmap(
-                lambda t, i: (1 - t) * anchor + t * z_n[i])(ts, idx))
+            n_int = max(budget // 8, 16)
+            ii = jax.random.randint(k[1], (n_int,), 0, len(z_n))
+            jj = jax.random.randint(k[2], (n_int,), 0, len(z_n))
+            ts = jax.random.uniform(jax.random.fold_in(k[2], 1), (n_int,),
+                                    minval=-0.25, maxval=1.25)
+            half = n_int // 2
+            parts.append(jax.vmap(lambda i, j, t: slerp(z_n[i], z_n[j], t))(
+                ii[:half], jj[:half], ts[:half]))
+            parts.append(jax.vmap(lambda i, j, t: lerp(z_n[i], z_n[j], t))(
+                ii[half:], jj[half:], ts[half:]))
+
+        # centroid + scaled random walks, directions normalized by the
+        # neighbor distribution's per-dim std (reference strategy 3,
+        # scales {0.3, 0.5, 1.0, 1.5, 2.0})
         centroid = z_n.mean(axis=0)
-        steps = jnp.linspace(-0.5, 1.5, per)
+        cw_scales = jnp.asarray((0.3, 0.5, 1.0, 1.5, 2.0))
+        n_cw = max(budget // 32, 10)
+        dirs = jax.random.normal(k[3], (n_cw, latent_dim)) \
+            * jnp.maximum(z_n.std(axis=0), 1e-4)[None]
+        parts.append(centroid[None]
+                     + cw_scales[jnp.arange(n_cw) % 5][:, None] * dirs)
+        # plus the anchor->centroid line (our round-1 sweep, kept)
+        steps = jnp.linspace(-0.5, 1.5, max(budget // 64, 8))
         parts.append(anchor[None] + steps[:, None] * (centroid - anchor)[None])
+
+        # PCA walks: top-20 principal directions of the seed cloud, stepped
+        # -3σ..+3σ from the centroid (reference strategy 4), plus random
+        # component combinations
         if len(nbrs) >= 4:
-            comps, std = pca_components(np.asarray(z_n), k=4)
-            mags = np.asarray(
-                jax.random.normal(k[3], (per, 4))) * std[None] * 0.5
+            n_comp = min(20, len(nbrs) - 1)
+            comps, std = pca_components(np.asarray(z_n), k=n_comp)
+            sweep = np.linspace(-3.0, 3.0, 20)
+            mags = np.zeros((n_comp * 20, n_comp), np.float32)
+            for c in range(n_comp):
+                mags[c * 20:(c + 1) * 20, c] = sweep * std[c]
+            n_mix = max(budget // 32, 10)
+            mix = np.asarray(jax.random.normal(
+                k[4], (n_mix, n_comp))) * std[None] * 0.5
             parts.append(jnp.asarray(
-                np.asarray(anchor)[None] + mags @ comps))
+                np.asarray(centroid)[None] + mags @ comps))
+            parts.append(jnp.asarray(np.asarray(anchor)[None] + mix @ comps))
         parts += dope_parts
+
+        # multi-scale Gaussian perturbation of the top element-overlap seeds
+        # (reference strategy 1: 30 seeds x 8 noise scales) — sized to fill
+        # whatever budget the other strategies left
+        n_so_far = sum(len(p) for p in same_parts + parts)
+        n_pert = max(budget - n_so_far, 64)
+        seeds = z_n[:30]
+        sidx = jax.random.randint(k[0], (n_pert,), 0, len(seeds))
+        scales = jnp.asarray((0.02, 0.05, 0.08, 0.1, 0.15, 0.2, 0.3, 0.5))
+        sig = scales[jnp.arange(n_pert) % 8]
+        parts.append(seeds[sidx] + sig[:, None] * jax.random.normal(
+            jax.random.fold_in(k[0], 1), (n_pert, latent_dim)))
+
         # same-set sweeps go FIRST so the [:budget] clip never drops them —
-        # they are the highest-yield candidates when they exist
+        # they are the highest-yield candidates when they exist (and the
+        # leading rows double as the sampled-temperature slice in search())
         return jnp.concatenate(same_parts + parts, axis=0)[:budget]
 
     def _element_type_masks(self, target: str) -> Optional[jnp.ndarray]:
@@ -356,17 +410,35 @@ class HoldoutSearch:
 
     def search(self, budget_per_target: int = 200, seed: int = 0,
                targets: Optional[List[str]] = None,
-               temperature_sweep: tuple = (0.0, 0.7),
+               temperature_sweep: tuple = (0.0, 0.3, 0.7),
                check_consistency: bool = True,
                refine_rounds: int = 2,
                guided: bool = True,
                guided_starts: int = 16,
                constrain_elements: bool = False,
+               sample_slice: int = 4096,
+               sample_draws: int = 2,
+               decode_chunk: int = 2048,
+               target_offset: int = 0,
                log_fn=print) -> List[HoldoutResult]:
         """``refine_rounds``: zoom-in passes re-seeding a fine perturbation
         sweep from the best candidate's latent centroid (the reference's
         targeted search does the same around promising matches,
-        holdout_search_targeted.py:441-545)."""
+        holdout_search_targeted.py:441-545).
+
+        Temperature protocol at scale (reference run 2 decodes every
+        candidate greedily and temperature-samples a seed subset,
+        HOLDOUT_SEARCH_TECHNIQUE_REPORT.md §3): the FULL pool decodes at
+        ``temperature_sweep[0]`` (greedy); the remaining temperatures decode
+        only the leading ``sample_slice`` rows — the same-set sweeps and
+        dopant blends the pool deliberately fronts — ``sample_draws`` times
+        each with fresh rngs.
+
+        ``target_offset``: absolute index of ``targets[0]`` within the full
+        holdout list — keeps per-target rng folds identical whether the 45
+        targets run in one process or sharded across several (the axon
+        PJRT client leaks host memory per dispatch, so long campaigns run
+        as sequential per-window subprocesses)."""
         cache = self.pipe.analyzer.build_cache(self.pipe.ds)
         results = []
         rng = jax.random.PRNGKey(seed)
@@ -376,7 +448,7 @@ class HoldoutSearch:
         # compare would never fire (reference holdout_search.py:546-566
         # compares raw strings because its corpus preserves order)
         for t_i, target in enumerate(targets or self.targets):
-            t_rng = jax.random.fold_in(rng, t_i)
+            t_rng = jax.random.fold_in(rng, target_offset + t_i)
             tkey = canonical_composition_key(target)
 
             pool_z: List[np.ndarray] = []      # latent pool, concatenated
@@ -391,20 +463,24 @@ class HoldoutSearch:
                 offset = sum(len(p) for p in pool_z)
                 pool_z.append(np.asarray(zc))
                 for s, temp in enumerate(temps):
-                    fs = self.pipe.decode_latents(
-                        zc, temperature=temp,
-                        rng=jax.random.fold_in(rng_, s),
-                        type_masks=tmask)
-                    for j, f in enumerate(fs):
-                        if f:
-                            by_formula.setdefault(f, []).append(offset + j)
-                            if f not in scores:
-                                is_exact = (
-                                    tkey is not None
-                                    and canonical_composition_key(f) == tkey)
-                                sim = (1.0 if is_exact
-                                       else element_similarity(f, target))
-                                scores[f] = (sim, is_exact)
+                    greedy = temp < 0.01
+                    z_use = zc if greedy else zc[:sample_slice]
+                    for d in range(1 if greedy else sample_draws):
+                        fs = self.pipe.decode_latents(
+                            z_use, temperature=temp,
+                            rng=jax.random.fold_in(rng_, s * 131 + d),
+                            type_masks=tmask, chunk=decode_chunk)
+                        for j, f in enumerate(fs):
+                            if f:
+                                by_formula.setdefault(f, []).append(offset + j)
+                                if f not in scores:
+                                    is_exact = (
+                                        tkey is not None
+                                        and canonical_composition_key(f)
+                                        == tkey)
+                                    sim = (1.0 if is_exact
+                                           else element_similarity(f, target))
+                                    scores[f] = (sim, is_exact)
 
             def score():
                 best, best_sim, best_exact = '', 0.0, False
@@ -424,7 +500,7 @@ class HoldoutSearch:
                                  jax.random.fold_in(t_rng, 999))
             best, best_sim, best_exact = score()
 
-            fine_n = max(budget_per_target // 2, 8)
+            fine_n = min(max(budget_per_target // 2, 8), 8192)
             for r in range(refine_rounds):
                 if best_exact or not best:
                     break
@@ -462,7 +538,8 @@ class HoldoutSearch:
                 target=target, best_match=best, exact=best_exact,
                 best_similarity=best_sim, n_candidates=len(by_formula),
                 consistent=consistent, consistency=cons_info))
-            log_fn(f'[{t_i+1}] {target}: best={best!r} sim={best_sim:.3f} '
+            log_fn(f'[{target_offset + t_i + 1}] {target}: '
+                   f'best={best!r} sim={best_sim:.3f} '
                    f'{"EXACT" if best_exact else ""}'
                    f'{"" if consistent else " INCONSISTENT"}')
         return results

@@ -211,6 +211,17 @@ class TestHoldoutSearch:
         assert summary['n_targets'] == 2
         assert 0 <= summary['mean_similarity'] <= 1
 
+        # sharded campaign equivalence: running each target in its own
+        # window with target_offset must reproduce the unsharded results
+        # (rng folds keyed on absolute index)
+        sharded = []
+        for lo in range(2):
+            sharded += search.search(
+                budget_per_target=16, targets=search.targets[lo:lo + 1],
+                target_offset=lo, log_fn=lambda *a: None)
+        for a, b in zip(results, sharded):
+            assert a == b
+
     def test_head_guided_latents_descend(self, tmp_path):
         """Guided navigation must reduce the encoder-head mismatch with the
         target's composition (fractions/count), even on an untrained model."""

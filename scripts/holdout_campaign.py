@@ -44,6 +44,11 @@ def main():
     p.add_argument('--constrain-elements', action='store_true')
     p.add_argument('--shard-timeout', type=int, default=3600,
                    help='seconds per window subprocess')
+    p.add_argument('--first-window', type=int, default=0,
+                   help='window start index to process first; windows are '
+                        'rotated so higher-value targets can run before a '
+                        'possible crash/timeout eats the tail (shard outputs '
+                        'are cached, so order does not affect results)')
     p.add_argument('--out', required=True)
     args = p.parse_args()
 
@@ -53,7 +58,12 @@ def main():
     script = Path(__file__).resolve().parent / 'holdout_search.py'
 
     merged = []
-    for lo in range(0, N_HOLDOUT, args.window):
+    starts = list(range(0, N_HOLDOUT, args.window))
+    pivot = next((i for i, s in enumerate(starts)
+                  if s >= args.first_window), 0)
+    run_order = starts[pivot:] + starts[:pivot]
+    shard_results = {}
+    for lo in run_order:
         n = min(args.window, N_HOLDOUT - lo)
         shard_out = shard_dir / f'shard_{lo:02d}.json'
         if shard_out.exists():
@@ -80,7 +90,9 @@ def main():
             if rc != 0 or not shard_out.exists():
                 print(f'[campaign] shard {lo} FAILED rc={rc}', flush=True)
                 continue
-        merged.extend(json.loads(shard_out.read_text())['results'])
+        shard_results[lo] = json.loads(shard_out.read_text())['results']
+    for lo in starts:  # merge in target order regardless of run order
+        merged.extend(shard_results.get(lo, []))
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     from superconductor_vae_tpu.generation.holdout_search import (

@@ -33,6 +33,8 @@ def main():
     p.add_argument('--cpu', action='store_true')
     p.add_argument('--no-guided', action='store_true',
                    help='disable head-guided latent optimization')
+    p.add_argument('--no-inverse', action='store_true',
+                   help='disable local inverse-regression queries')
     p.add_argument('--guided-starts', type=int, default=16)
     p.add_argument('--constrain-elements', action='store_true',
                    help='restrict decode to the target element set '
@@ -79,6 +81,7 @@ def main():
                             refine_rounds=args.refine_rounds,
                             guided=not args.no_guided,
                             guided_starts=args.guided_starts,
+                            inverse_regression=not args.no_inverse,
                             constrain_elements=args.constrain_elements,
                             decode_chunk=args.decode_chunk,
                             sample_slice=args.sample_slice,

@@ -59,6 +59,24 @@ def element_presence(formulas: List[str]) -> np.ndarray:
     return out
 
 
+def composition_feature(formula: str, dim: int = 119) -> Optional[np.ndarray]:
+    """Order-free composition vector: x[Z] = normalized fraction of element
+    Z, plus a trailing bias term. The feature space for the local inverse
+    regression (``HoldoutSearch._inverse_regression_latents``)."""
+    comp = parse_formula_composition(formula)
+    if not comp:
+        return None
+    x = np.zeros(dim + 1, np.float32)
+    total = sum(comp.values()) or 1.0
+    for el, amt in comp.items():
+        z = SYMBOL_TO_Z.get(el)
+        if z is None:
+            return None
+        x[z] = amt / total
+    x[-1] = 1.0
+    return x
+
+
 def element_similarity(a: str, b: str) -> float:
     """Jaccard over element sets, weighted by fraction closeness."""
     ca, cb = parse_formula_composition(a), parse_formula_composition(b)
@@ -89,16 +107,23 @@ class HoldoutSearch:
 
     # ---- head-guided latent optimization -----------------------------------
     def _target_head_arrays(self, target: str):
-        """Supervision-convention arrays for the guided objective: appearance
-        -order normalized fractions padded to 12 slots + mask (the fraction
-        head's training target, data/pipeline.py:322-344), element count,
-        and the target Tc in normalized units."""
+        """Supervision-convention arrays for the guided objective: normalized
+        fractions padded to 12 slots + mask (the fraction head's training
+        target, data/pipeline.py:322-344), element count, and the target Tc
+        in normalized units.
+
+        Slot order is ALPHABETICAL by element symbol — the corpus convention.
+        The head learned appearance-order targets on a corpus whose spellings
+        are alphabetical (jarvis Hill-ish notation), while holdout targets
+        keep their source spelling (Tl2Ba2Ca... vs Ba2Ca...Tl2...): using the
+        target's own appearance order mis-assigns every slot for reordered
+        targets and the descent chases the wrong per-slot fractions."""
         from ..data.pipeline import MAX_ELEMENTS
         comp = parse_formula_composition(target)
         f_star = np.zeros(MAX_ELEMENTS, np.float32)
         m_star = np.zeros(MAX_ELEMENTS, np.float32)
         total = sum(comp.values()) or 1.0
-        for j, amt in enumerate(list(comp.values())[:MAX_ELEMENTS]):
+        for j, (_, amt) in enumerate(sorted(comp.items())[:MAX_ELEMENTS]):
             f_star[j] = amt / total
             m_star[j] = 1.0
         tc_k = self.target_tc.get(target)
@@ -130,7 +155,8 @@ class HoldoutSearch:
     def head_guided_latents(self, target: str, z_init: jnp.ndarray,
                             steps: int = 240, lr: float = 0.08,
                             trust: float = 2e-3,
-                            n_snapshots: int = 4) -> jnp.ndarray:
+                            n_snapshots: int = 4,
+                            order_free: bool = False) -> jnp.ndarray:
         """Navigate latents by gradient: descend z so the encoder's OWN heads
         predict the target's known properties (fractions, element count, Tc,
         SC), starting from corpus anchors.
@@ -145,13 +171,24 @@ class HoldoutSearch:
         stays on the data manifold instead of finding adversarial latents
         whose heads lie.
 
+        ``order_free=True`` swaps the per-slot fraction match for a
+        permutation-invariant one: sorted-descending predicted fractions vs
+        sorted-descending targets, masked to the target's element count.
+        The head's slot convention for off-manifold z is undefined (it was
+        trained appearance-order on corpus rows only), so the sorted
+        objective accepts ANY slot permutation that realizes the target's
+        fraction multiset.
+
         Returns ``[n_snapshots * len(z_init), latent]``: trajectory snapshots
         (different decode basins along the path), final state last.
         """
         import optax
         (f_star, m_star, n_star, tc_star, tc_w,
          mg_star, mg_mask) = self._target_head_arrays(target)
-        key = ('guided', len(z_init), steps, n_snapshots)
+        if order_free:
+            f_star = np.sort(f_star)[::-1].copy()
+            m_star = np.sort(m_star)[::-1].copy()
+        key = ('guided', len(z_init), steps, n_snapshots, order_free)
         if not hasattr(self, '_jit_cache'):
             self._jit_cache = {}
         if key not in self._jit_cache:
@@ -162,7 +199,10 @@ class HoldoutSearch:
             def obj(z, z0, fs, ms, ns, ts, tw, mgs, mgm):
                 h = enc.apply(self.pipe.enc_params, z,
                               method=MaterialsEncoder.heads_from_z)
-                lf = ((h['fraction_pred'] - fs) ** 2 * ms).sum(-1)
+                pred = h['fraction_pred']
+                if order_free:
+                    pred = jnp.sort(pred, axis=-1)[..., ::-1]
+                lf = ((pred - fs) ** 2 * ms).sum(-1)
                 lc = 0.05 * (h['element_count_pred'] - ns) ** 2
                 lt = tw * (h['tc_pred'] - ts) ** 2
                 lsc = 0.05 * jax.nn.softplus(-h['sc_pred'])
@@ -358,6 +398,85 @@ class HoldoutSearch:
         # leading rows double as the sampled-temperature slice in search())
         return jnp.concatenate(same_parts + parts, axis=0)[:budget]
 
+    def _inverse_regression_latents(self, target: str,
+                                    pool_z: List[np.ndarray],
+                                    by_formula: Dict[str, list],
+                                    rng: jax.Array,
+                                    best: str = '',
+                                    n_out: int = 384,
+                                    k_local: int = 1024,
+                                    l2: float = 1e-2,
+                                    tau: float = 0.3) -> Optional[jnp.ndarray]:
+        """Local inverse regression: the decoded pool is a dataset of
+        (composition -> latent) pairs — every distinct decoded formula maps
+        to the centroid of the latents that produced it. Weighted ridge over
+        the ``k_local`` pool formulas nearest the target (weights
+        ``exp(-L1/tau)`` in composition space) fits a LOCAL linear inverse
+        of the decoder, which is then *queried at the exact target
+        composition* — a z estimate no forward strategy can propose when the
+        target's fraction combination is absent from the corpus.
+
+        Also queries along the best-match -> target composition path
+        (including mild extrapolation past the target) since the linear fit
+        is most trustworthy near its support. Returns the query latents
+        tiled with small Gaussian perturbations, or None when the pool is
+        too thin to fit.
+
+        This is an extension beyond the reference's strategy set (its
+        closest analogue is doping-series interpolation at the LATENT level,
+        holdout_search_targeted.py:441-545); reported under the same
+        unconstrained protocol.
+        """
+        x_t = composition_feature(target)
+        if x_t is None:
+            return None
+        all_z = np.concatenate(pool_z)
+        feats, zs = [], []
+        for f, rows in by_formula.items():
+            x = composition_feature(f)
+            if x is None:
+                continue
+            feats.append(x)
+            zs.append(all_z[np.asarray(rows)].mean(axis=0))
+        if len(feats) < 24:
+            return None
+        X = np.stack(feats)                        # [N, 120]
+        Z = np.stack(zs).astype(np.float64)        # [N, latent]
+        d = np.abs(X - x_t[None]).sum(axis=1)      # L1 in composition space
+        idx = np.argsort(d)[:k_local]
+        Xl, Zl, dl = X[idx].astype(np.float64), Z[idx], d[idx]
+        w = np.exp(-dl / tau)
+        if w.sum() < 1e-6:
+            return None
+        Xw = Xl * w[:, None]
+        # ridge on the active columns only (elements never seen in the local
+        # pool carry no signal; shrinking the full 120-dim system toward 0
+        # would just zero the query's contribution for them)
+        active = np.flatnonzero((Xl != 0).any(axis=0))
+        A = Xw[:, active].T @ Xl[:, active] \
+            + l2 * np.eye(len(active))
+        B = Xw[:, active].T @ Zl
+        try:
+            beta = np.linalg.solve(A, B)           # [act, latent]
+        except np.linalg.LinAlgError:
+            return None
+
+        queries = [x_t]
+        x_b = composition_feature(best) if best else None
+        if x_b is not None:
+            for t in (0.5, 0.75, 1.1, 1.25):       # path + extrapolation
+                queries.append((1 - t) * x_b + t * x_t)
+        Q = np.stack(queries)[:, active]
+        z_q = (Q @ beta).astype(np.float32)        # [q, latent]
+
+        reps = max(n_out // len(z_q), 1)
+        base = jnp.asarray(np.repeat(z_q, reps, axis=0))
+        sig = jnp.asarray(
+            np.tile(np.asarray([0.0, 0.005, 0.01, 0.02], np.float32),
+                    (len(base) + 3) // 4)[:len(base)])[:, None]
+        noise = jax.random.normal(rng, base.shape)
+        return base + sig * noise
+
     def _element_type_masks(self, target: str) -> Optional[jnp.ndarray]:
         """Type masks with the ELEMENT row restricted to the target's element
         set — the decode-time constraint for the *element-constrained* search
@@ -415,6 +534,7 @@ class HoldoutSearch:
                refine_rounds: int = 2,
                guided: bool = True,
                guided_starts: int = 16,
+               inverse_regression: bool = True,
                constrain_elements: bool = False,
                sample_slice: int = 4096,
                sample_draws: int = 2,
@@ -493,12 +613,26 @@ class HoldoutSearch:
                                         t_rng)
             decode_into_pool(z, temperature_sweep, t_rng)
             if guided:
-                zg = self.head_guided_latents(
-                    target, self._anchor_latents(target, cache,
-                                                 n=guided_starts))
+                anchors = self._anchor_latents(target, cache,
+                                               n=guided_starts)
+                # both slot conventions: corpus-alphabetical (matches the
+                # head's training order) and permutation-free sorted
+                zg = self.head_guided_latents(target, anchors)
                 decode_into_pool(zg, (0.0,),
                                  jax.random.fold_in(t_rng, 999))
+                zg = self.head_guided_latents(target, anchors,
+                                              order_free=True)
+                decode_into_pool(zg, (0.0,),
+                                 jax.random.fold_in(t_rng, 998))
             best, best_sim, best_exact = score()
+            if inverse_regression and not best_exact:
+                zi = self._inverse_regression_latents(
+                    target, pool_z, by_formula,
+                    jax.random.fold_in(t_rng, 500), best=best)
+                if zi is not None:
+                    decode_into_pool(zi, (0.0, 0.3),
+                                     jax.random.fold_in(t_rng, 501))
+                    best, best_sim, best_exact = score()
 
             fine_n = min(max(budget_per_target // 2, 8), 8192)
             for r in range(refine_rounds):
@@ -517,9 +651,18 @@ class HoldoutSearch:
                     zg = self.head_guided_latents(
                         target, perturb(
                             jnp.tile(cen[None], (guided_starts, 1)),
-                            jax.random.fold_in(t_rng, 300 + r), 0.01))
+                            jax.random.fold_in(t_rng, 300 + r), 0.01),
+                        order_free=True)
                     decode_into_pool(zg, (0.0,),
                                      jax.random.fold_in(t_rng, 400 + r))
+                if inverse_regression:
+                    # refit on the grown pool; query again at the target
+                    zi = self._inverse_regression_latents(
+                        target, pool_z, by_formula,
+                        jax.random.fold_in(t_rng, 510 + r), best=best)
+                    if zi is not None:
+                        decode_into_pool(zi, (0.0,),
+                                         jax.random.fold_in(t_rng, 520 + r))
                 best, best_sim, best_exact = score()
 
             consistent = True

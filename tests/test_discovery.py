@@ -314,3 +314,147 @@ class TestHoldoutSearch:
         best = results[0].best_match
         if best:
             assert set(parse_formula_composition(best)) <= allowed, best
+
+
+class TestInverseRegression:
+    def test_target_head_arrays_alphabetical(self, tmp_path):
+        """Fraction slot order follows the CORPUS convention (alphabetical
+        element symbols), not the target's source spelling — the head was
+        trained on alphabetical spellings (data/pipeline.py:322-344)."""
+        import json
+        import numpy as np
+        from superconductor_vae_tpu.generation.holdout_search import HoldoutSearch
+
+        class _Pipe:  # _target_head_arrays only touches ds.norm_stats
+            pass
+
+        hpath = tmp_path / 'holdout.json'
+        hpath.write_text(json.dumps({'holdout_samples': [
+            {'formula': 'Tl2Ba2Cu3O8', 'Tc': 100.0}]}))
+        search = HoldoutSearch.__new__(HoldoutSearch)
+        blob = json.loads(hpath.read_text())
+        search.targets = [s['formula'] for s in blob['holdout_samples']]
+        search.target_tc = {s['formula']: s['Tc']
+                            for s in blob['holdout_samples']}
+
+        class _NS:
+            magpie_mean = np.zeros(3)
+            magpie_std = np.ones(3)
+            magpie_skewed_indices = ()
+
+            @staticmethod
+            def kelvin_to_norm(x):
+                return x
+
+        class _DS:
+            norm_stats = _NS()
+            magpie_dim = 3
+
+        pipe = _Pipe()
+        pipe.ds = _DS()
+        search.pipe = pipe
+        f_star, m_star, *_ = search._target_head_arrays('Tl2Ba2Cu3O8')
+        # alphabetical: Ba(2), Cu(3), O(8), Tl(2); total 15
+        np.testing.assert_allclose(
+            f_star[:4], np.array([2, 3, 8, 2]) / 15.0, rtol=1e-6)
+        assert m_star[:4].sum() == 4 and m_star[4:].sum() == 0
+
+    def test_composition_feature_order_free(self):
+        import numpy as np
+        from superconductor_vae_tpu.generation.holdout_search import (
+            composition_feature,
+        )
+        a = composition_feature('Tl2Ba2Cu3O8')
+        b = composition_feature('Ba2Cu3O8Tl2')   # same composition, reordered
+        np.testing.assert_allclose(a, b)
+        assert a[-1] == 1.0 and abs(a[:-1].sum() - 1.0) < 1e-6
+        assert composition_feature('') is None
+
+    def test_inverse_regression_recovers_linear_map(self, tmp_path):
+        """When pool latents ARE a linear function of composition features,
+        the local ridge inverse must recover the target's z."""
+        import json
+        import jax
+        import numpy as np
+        from superconductor_vae_tpu.generation.holdout_search import (
+            HoldoutSearch, composition_feature,
+        )
+
+        rng = np.random.default_rng(0)
+        latent = 8
+        A = rng.normal(size=(120, latent)).astype(np.float32)
+
+        # pool: doping series around the target composition
+        formulas = []
+        for k in range(1, 20):
+            formulas.append(f'Ba2Cu3O7Y({k}/20)')
+            formulas.append(f'Ba2Cu({k}/10)O7Y')
+            formulas.append(f'Ba({k}/10)Cu3O7Y')
+        X = np.stack([composition_feature(f) for f in formulas])
+        Z = X @ A
+        pool_z = [Z.astype(np.float32)]
+        by_formula = {f: [i] for i, f in enumerate(formulas)}
+
+        search = HoldoutSearch.__new__(HoldoutSearch)
+        target = 'Ba2Cu3O7Y'
+        z_out = search._inverse_regression_latents(
+            target, pool_z, by_formula, jax.random.PRNGKey(0),
+            best=formulas[0], n_out=32, l2=1e-6, tau=1.0)
+        assert z_out is not None
+        z_star = composition_feature(target) @ A
+        # the sigma=0 row of the first query block is the pure estimate
+        err = np.abs(np.asarray(z_out[0]) - z_star).max()
+        assert err < 0.05, err
+
+    def test_order_free_guided_descends(self, tmp_path):
+        """Order-free guided descent reduces the SORTED fraction mismatch."""
+        import json
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from superconductor_vae_tpu.models import MaterialsEncoder, FormulaDecoder
+        from superconductor_vae_tpu.models.config import tiny_test_config
+        from superconductor_vae_tpu.data import synthetic_dataset
+        from superconductor_vae_tpu.generation import (
+            SuperconductorDiscoveryPipeline,
+        )
+        from superconductor_vae_tpu.generation.holdout_search import HoldoutSearch
+        from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+        cfg = tiny_test_config()
+        ds = synthetic_dataset(n=16, max_len=cfg.max_len,
+                               magpie_dim=cfg.magpie_dim)
+        tok = default_tokenizer(max_len=cfg.max_len)
+        rng = jax.random.PRNGKey(0)
+        enc = MaterialsEncoder(cfg)
+        eparams = enc.init(rng, jnp.asarray(ds.element_indices[:2]),
+                           jnp.asarray(ds.element_fractions[:2]),
+                           jnp.asarray(ds.element_mask[:2]),
+                           jnp.asarray(ds.magpie[:2]), jnp.asarray(ds.tc[:2]))
+        dec = FormulaDecoder(cfg)
+        dparams = dec.init(rng, jnp.zeros((2, cfg.latent_dim)),
+                           jnp.asarray(ds.tokens[:2]),
+                           jnp.zeros((2, cfg.stoich_input_dim)),
+                           jnp.zeros((2, cfg.heads_input_dim)))
+        pipe = SuperconductorDiscoveryPipeline(enc, dec, eparams, dparams,
+                                               tok, ds)
+        hpath = tmp_path / 'holdout.json'
+        hpath.write_text(json.dumps({'holdout_samples': [
+            {'formula': 'YBa2Cu3O7', 'Tc': 92.0}]}))
+        search = HoldoutSearch(pipe, holdout_path=hpath)
+
+        z0 = jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, cfg.latent_dim)).astype(np.float32))
+        zg = search.head_guided_latents('YBa2Cu3O7', z0, steps=60,
+                                        n_snapshots=2, order_free=True)
+        assert zg.shape == (8, cfg.latent_dim)
+
+        f_star, m_star, *_ = search._target_head_arrays('YBa2Cu3O7')
+        fs = np.sort(f_star)[::-1]
+        ms = np.sort(m_star)[::-1]
+
+        def sorted_err(z):
+            h = enc.apply(eparams, z, method=MaterialsEncoder.heads_from_z)
+            p = np.sort(np.asarray(h['fraction_pred']), axis=-1)[:, ::-1]
+            return float((((p - fs) ** 2) * ms).sum(-1).mean())
+
+        assert sorted_err(zg[-len(z0):]) < sorted_err(z0)

@@ -108,7 +108,11 @@ def latest_checkpoint(root: str | Path) -> Optional[Path]:
     candidates = []
     for p in list(root.glob('epoch_*')) + [root / 'best', root / 'interrupt']:
         meta = p / 'meta.json'
-        if meta.exists():
+        # require the payload too: a crash mid-save leaves meta.json next
+        # to an orbax tmp dir, and resuming such a checkpoint crash-loops
+        # the resilient driver (observed on run3: kill during a 'best'
+        # write left state.orbax-checkpoint-tmp only)
+        if meta.exists() and (p / 'state').exists():
             try:
                 ep = int(json.loads(meta.read_text()).get('epoch', -1))
             except (ValueError, json.JSONDecodeError):

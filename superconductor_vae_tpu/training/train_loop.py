@@ -197,8 +197,8 @@ def train(
             pass  # not main thread
 
     best_exact = 0.0
-    best_params = None
     last_best_saved = 0.0
+    last_best_save_epoch = -10 ** 9
     last_metrics: Optional[Dict[str, float]] = None
     last_ar_exact = 0.0
     history = []
@@ -461,20 +461,30 @@ def train(
                 topo.analyze(cache.z, is_sc=cache.is_sc,
                              tc_kelvin=cache.tc_kelvin, epoch=epoch)
 
-        # drop detection / rollback
+        # drop detection / rollback. The rollback source is the on-disk
+        # 'best' checkpoint (local disk read, Orbax), NOT a host RAM
+        # mirror: keeping a mirror fresh costs a full-params device_get
+        # over the axon tunnel — doing that every improving epoch made the
+        # wall epoch time ~10x the scan time on run3. Rollback is rare;
+        # reading 'best' back when it fires is the cheap side of the trade.
         exact = last_metrics.get('exact_match', 0.0)
-        if drop_ctl.check(epoch, exact) and best_params is not None:
-            state = state.replace(
-                enc_params=jax.device_put(best_params[0]),
-                dec_params=jax.device_put(best_params[1]))
-            log_fn(f'[rollback] epoch {epoch}: exact {exact:.3f} collapsed; '
-                   f'restored best, lr_scale={drop_ctl.lr_scale}')
+        if drop_ctl.check(epoch, exact):
+            best_dir = out_dir / 'checkpoints' / 'best'
+            if (best_dir / 'state').exists():
+                from ..checkpoint import load_checkpoint
+                restored_best, _ = load_checkpoint(best_dir)
+                state = state.replace(
+                    enc_params=jax.device_put(restored_best['enc_params']),
+                    dec_params=jax.device_put(restored_best['dec_params']))
+                log_fn(f'[rollback] epoch {epoch}: exact {exact:.3f} '
+                       f'collapsed; restored best checkpoint, '
+                       f'lr_scale={drop_ctl.lr_scale}')
+            else:
+                log_fn(f'[rollback] epoch {epoch}: exact {exact:.3f} '
+                       f'collapsed but no best checkpoint exists yet; '
+                       f'continuing (lr_scale={drop_ctl.lr_scale})')
         elif exact > best_exact:
             best_exact = exact
-            # host copies: the live state buffers get DONATED into the next
-            # step and deleted — device references here would dangle
-            best_params = jax.device_get(
-                (state.enc_params, state.dec_params))
 
         row = {
             'epoch': epoch, 'total': last_metrics.get('total', 0.0),
@@ -502,16 +512,21 @@ def train(
                             epoch=epoch, metrics=row,
                             controllers=_ctl_state(),
                             extra_arrays=_mastery_arrays())
-        # save 'best' on meaningful improvement only (an Orbax write of the
-        # full params every epoch would dominate short epochs)
+        # save 'best' on meaningful improvement only, at most every 10
+        # epochs (a full-state Orbax write — params + both optimizer
+        # states — costs minutes of device_get over the axon tunnel;
+        # early training improves every epoch and the writes dominated
+        # the wall epoch time ~10x on run3)
         if exact > 0 and exact >= best_exact and (
-                exact - last_best_saved >= 0.005
+                (exact - last_best_saved >= 0.005
+                 and epoch - last_best_save_epoch >= 10)
                 or (epoch + 1) % tcfg.checkpoint_interval == 0):
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
                             epoch=epoch, metrics=row, tag='best',
                             controllers=_ctl_state(),
                             extra_arrays=_mastery_arrays())
             last_best_saved = exact
+            last_best_save_epoch = epoch
         if interrupt['flag']:
             save_checkpoint(out_dir / 'checkpoints', state, mcfg, tcfg,
                             epoch=epoch, metrics=row, tag='interrupt',

@@ -343,6 +343,27 @@ def test_latest_checkpoint_prefers_highest_epoch(tmp_path):
     assert latest_checkpoint(tmp_path).name == 'interrupt'
 
 
+def test_latest_checkpoint_skips_incomplete_save(tmp_path):
+    """A crash mid-save leaves meta.json next to an orbax tmp dir but no
+    'state'; resume must skip it instead of crash-looping on restore."""
+    import shutil
+    from superconductor_vae_tpu.checkpoint import (
+        save_checkpoint, latest_checkpoint)
+    from superconductor_vae_tpu.training.train_step import create_train_state
+    mcfg = tiny_test_config()
+    tcfg = small_train_config()
+    _, _, state, _, _ = create_train_state(mcfg, tcfg, jax.random.PRNGKey(0))
+    save_checkpoint(tmp_path, state, mcfg, tcfg, epoch=5)
+    save_checkpoint(tmp_path, state, mcfg, tcfg, epoch=9, tag='best')
+    # simulate the interrupted write: payload gone, tmp left behind
+    shutil.rmtree(tmp_path / 'best' / 'state')
+    (tmp_path / 'best' / 'state.orbax-checkpoint-tmp').mkdir()
+    assert latest_checkpoint(tmp_path).name == 'epoch_00005'
+    # no complete checkpoint at all -> None
+    shutil.rmtree(tmp_path / 'epoch_00005' / 'state')
+    assert latest_checkpoint(tmp_path) is None
+
+
 def test_gradient_accumulation(tmp_path):
     from superconductor_vae_tpu.models.config import tiny_test_config
     mcfg = tiny_test_config()

@@ -49,6 +49,12 @@ class HoldoutResult:
     # (reference: holdout_search_targeted.py:593-775)
     consistent: bool = True
     consistency: Optional[Dict[str, float]] = None
+    # DIAGNOSTIC (not part of the reference-comparable headline): what the
+    # decoder produces from directly ENCODING the target's composition —
+    # holdout reconstruction, i.e. does the latent space contain the target
+    # at all. The headline `exact` counts only navigation-found candidates.
+    oracle_formula: Optional[str] = None
+    oracle_match: Optional[bool] = None
 
 
 def element_presence(formulas: List[str]) -> np.ndarray:
@@ -477,6 +483,38 @@ class HoldoutSearch:
         noise = jax.random.normal(rng, base.shape)
         return base + sig * noise
 
+    def oracle_encode_latent(self, target: str) -> Optional[jnp.ndarray]:
+        """Encode the target composition directly: elements in the corpus's
+        alphabetical convention, normalized fractions, z-scored Magpie
+        features (skewed columns at their mean — rank-gauss normalization
+        is not reproducible for a fresh formula, data/pipeline.py:295-301),
+        and the known Tc. This is holdout RECONSTRUCTION — generalization to
+        unseen inputs — not generative navigation, so it is reported as a
+        diagnostic next to (never inside) the reference-comparable search
+        pool."""
+        from ..data.pipeline import MAX_ELEMENTS
+        comp = parse_formula_composition(target)
+        if not comp:
+            return None
+        idx = np.zeros((1, MAX_ELEMENTS), np.int32)
+        frac = np.zeros((1, MAX_ELEMENTS), np.float32)
+        mask = np.zeros((1, MAX_ELEMENTS), bool)
+        total = sum(comp.values()) or 1.0
+        for j, (el, amt) in enumerate(sorted(comp.items())[:MAX_ELEMENTS]):
+            z = SYMBOL_TO_Z.get(el)
+            if z is None:
+                return None
+            idx[0, j] = z
+            frac[0, j] = amt / total
+            mask[0, j] = True
+        (_, _, _, tc_star, _, mg_star, _) = self._target_head_arrays(target)
+        out = self.pipe.encoder.apply(
+            self.pipe.enc_params, jnp.asarray(idx), jnp.asarray(frac),
+            jnp.asarray(mask), jnp.asarray(mg_star[None]),
+            jnp.asarray(np.asarray([tc_star], np.float32)),
+            method=MaterialsEncoder.encode)
+        return out['z']
+
     def _element_type_masks(self, target: str) -> Optional[jnp.ndarray]:
         """Type masks with the ELEMENT row restricted to the target's element
         set — the decode-time constraint for the *element-constrained* search
@@ -535,6 +573,7 @@ class HoldoutSearch:
                guided: bool = True,
                guided_starts: int = 16,
                inverse_regression: bool = True,
+               oracle_diagnostic: bool = True,
                constrain_elements: bool = False,
                sample_slice: int = 4096,
                sample_draws: int = 2,
@@ -665,6 +704,18 @@ class HoldoutSearch:
                                          jax.random.fold_in(t_rng, 520 + r))
                 best, best_sim, best_exact = score()
 
+            oracle_f = oracle_m = None
+            if oracle_diagnostic:
+                zo = self.oracle_encode_latent(target)
+                if zo is not None:
+                    fs = self.pipe.decode_latents(
+                        zo, temperature=0.0, type_masks=tmask,
+                        chunk=decode_chunk)
+                    oracle_f = fs[0] if fs else ''
+                    oracle_m = bool(
+                        tkey is not None and oracle_f
+                        and canonical_composition_key(oracle_f) == tkey)
+
             consistent = True
             cons_info = None
             if check_consistency and best:
@@ -680,11 +731,13 @@ class HoldoutSearch:
             results.append(HoldoutResult(
                 target=target, best_match=best, exact=best_exact,
                 best_similarity=best_sim, n_candidates=len(by_formula),
-                consistent=consistent, consistency=cons_info))
+                consistent=consistent, consistency=cons_info,
+                oracle_formula=oracle_f, oracle_match=oracle_m))
             log_fn(f'[{target_offset + t_i + 1}] {target}: '
                    f'best={best!r} sim={best_sim:.3f} '
                    f'{"EXACT" if best_exact else ""}'
-                   f'{"" if consistent else " INCONSISTENT"}')
+                   f'{"" if consistent else " INCONSISTENT"}'
+                   f'{" oracle=Y" if oracle_m else ""}')
         return results
 
     @staticmethod
@@ -698,4 +751,7 @@ class HoldoutSearch:
             'mean_similarity': float(np.mean([r.best_similarity
                                               for r in results])) if n else 0.0,
             'consistent': sum(r.consistent for r in results),
+            # diagnostic only — direct-encode reconstruction, NOT counted
+            # in 'exact' (see HoldoutResult.oracle_match)
+            'oracle_match': sum(bool(r.oracle_match) for r in results),
         }

@@ -27,8 +27,12 @@ import shutil
 import sys
 from pathlib import Path
 
-# snapshotting is pure host IO — keep it off the (busy) TPU
+# snapshotting is pure host IO — keep it off the (busy) TPU. The env var
+# alone is not honored on the axon tunnel (tests/conftest.py:14-23), so
+# also force it via jax.config before any backend use.
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+import jax  # noqa: E402
+jax.config.update('jax_platforms', 'cpu')
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 

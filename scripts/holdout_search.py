@@ -46,6 +46,9 @@ def main():
                    help='leading pool rows decoded at sampled temperatures')
     p.add_argument('--sample-draws', type=int, default=2)
     p.add_argument('--out', default='outputs/holdout_results.json')
+    p.add_argument('--stream', default=None,
+                   help='append each finished target to this JSONL as it '
+                        'completes (survives a mid-campaign kill)')
     args = p.parse_args()
 
     if args.cpu:
@@ -76,8 +79,19 @@ def main():
     hi = lo + args.n_targets if args.n_targets else len(search.targets)
     targets = search.targets[lo:hi] if (lo, hi) != (0, len(search.targets)) \
         else None
+    stream_fn = None
+    if args.stream:
+        import dataclasses
+        stream_path = Path(args.stream)
+        stream_path.parent.mkdir(parents=True, exist_ok=True)
+
+        def stream_fn(idx, result):
+            with stream_path.open('a') as fh:
+                fh.write(json.dumps(
+                    {'index': idx, **dataclasses.asdict(result)}) + '\n')
+
     results = search.search(budget_per_target=args.budget, targets=targets,
-                            target_offset=lo,
+                            target_offset=lo, stream_fn=stream_fn,
                             refine_rounds=args.refine_rounds,
                             guided=not args.no_guided,
                             guided_starts=args.guided_starts,

@@ -579,7 +579,8 @@ class HoldoutSearch:
                sample_draws: int = 2,
                decode_chunk: int = 2048,
                target_offset: int = 0,
-               log_fn=print) -> List[HoldoutResult]:
+               log_fn=print,
+               stream_fn=None) -> List[HoldoutResult]:
         """``refine_rounds``: zoom-in passes re-seeding a fine perturbation
         sweep from the best candidate's latent centroid (the reference's
         targeted search does the same around promising matches,
@@ -738,6 +739,10 @@ class HoldoutSearch:
                    f'{"EXACT" if best_exact else ""}'
                    f'{"" if consistent else " INCONSISTENT"}'
                    f'{" oracle=Y" if oracle_m else ""}')
+            if stream_fn is not None:
+                # durably record each finished target (a campaign killed
+                # mid-window otherwise loses every completed search in it)
+                stream_fn(target_offset + t_i, results[-1])
         return results
 
     @staticmethod

@@ -87,7 +87,6 @@ def main():
     luts = build_luts(tokenizer)
 
     if args.pallas_decode:
-        import time
         from superconductor_vae_tpu.ops.pallas_decode import (
             decode_step_attention, decode_step_attention_xla,
         )

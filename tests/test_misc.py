@@ -183,3 +183,60 @@ def test_resilient_metrics_path():
         Path('outputs/x/training_metrics.csv')
     assert mod._metrics_path(['--output=o2']) == Path('o2/training_metrics.csv')
     assert mod._metrics_path([]) == Path('outputs/training_metrics.csv')
+
+
+def _load_script(name):
+    import importlib.util
+    from pathlib import Path
+    spec = importlib.util.spec_from_file_location(
+        name, Path(__file__).resolve().parents[1] / 'scripts' / f'{name}.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_holdout_summarize_dedup():
+    """Rerun records can only improve the summary: exact beats any
+    similarity, else highest similarity wins (the all-or-nothing shard
+    JSONs this replaced once lost an EXACT to a timeout)."""
+    mod = _load_script('holdout_summarize')
+    records = [
+        {'index': 0, 'target': 'A', 'exact': False, 'best_similarity': 0.998},
+        {'index': 0, 'target': 'A', 'exact': True, 'best_similarity': 1.0},
+        {'index': 1, 'target': 'B', 'exact': False, 'best_similarity': 0.97},
+        # rerun of 1 with LOWER sim must not replace the earlier record
+        {'index': 1, 'target': 'B', 'exact': False, 'best_similarity': 0.90},
+        # exact with sim 1.0 preferred over non-exact even if non-exact
+        # floats slightly higher on a different fuzzy scale
+        {'index': 2, 'target': 'C', 'exact': True, 'best_similarity': 0.999},
+        {'index': 2, 'target': 'C', 'exact': False, 'best_similarity': 0.9995},
+    ]
+    out = mod.summarize(records)
+    assert out['targets_completed'] == 3
+    assert out['exact'] == 2
+    assert out['exact_targets'] == ['A', 'C']
+    per = {r['index']: r for r in out['per_target']}
+    assert per[0]['exact'] and per[0]['best_similarity'] == 1.0
+    assert per[1]['best_similarity'] == 0.97
+    assert per[2]['exact']
+    assert out['ge_0.95'] == 3 and out['ge_0.99'] == 2
+    assert mod.summarize([])['targets_completed'] == 0
+
+
+def test_holdout_rerun_pick_misses(tmp_path):
+    """Rerun queue: non-exact only, nearest-miss first, honors cap."""
+    import json
+    mod = _load_script('holdout_rerun_misses')
+    stream = tmp_path / 's.jsonl'
+    recs = [
+        {'index': 0, 'target': 'A', 'exact': True, 'best_similarity': 1.0},
+        {'index': 1, 'target': 'B', 'exact': False, 'best_similarity': 0.95},
+        {'index': 2, 'target': 'C', 'exact': False, 'best_similarity': 0.999},
+        {'index': 3, 'target': 'D', 'exact': False, 'best_similarity': 0.97},
+        # a rerun already flipped 3 to exact — must drop out of the queue
+        {'index': 3, 'target': 'D', 'exact': True, 'best_similarity': 1.0},
+    ]
+    stream.write_text('\n'.join(json.dumps(r) for r in recs) + '\n')
+    misses = mod.pick_misses(str(stream), None)
+    assert [m['index'] for m in misses] == [2, 1]
+    assert [m['index'] for m in mod.pick_misses(str(stream), 1)] == [2]

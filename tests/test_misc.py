@@ -240,3 +240,26 @@ def test_holdout_rerun_pick_misses(tmp_path):
     misses = mod.pick_misses(str(stream), None)
     assert [m['index'] for m in misses] == [2, 1]
     assert [m['index'] for m in mod.pick_misses(str(stream), 1)] == [2]
+
+
+def test_holdout_chunked_next_chunk(tmp_path):
+    """OOM-resilient campaign driver: chunks start at the first missing
+    index, stay contiguous, cap at the chunk size, and self-heal gaps
+    left by a killed subprocess."""
+    import json
+    mod = _load_script('holdout_chunked')
+    assert mod.next_chunk(set(), 45, 5) == (0, 5)
+    assert mod.next_chunk(set(range(23)), 45, 5) == (23, 5)
+    # gap left by an OOM-killed chunk is retried first, and the chunk
+    # stops at the next already-done index
+    assert mod.next_chunk({0, 1, 3, 4}, 45, 5) == (2, 1)
+    assert mod.next_chunk({0, 1, 4}, 45, 5) == (2, 2)
+    # tail shorter than the chunk
+    assert mod.next_chunk(set(range(43)), 45, 5) == (43, 2)
+    assert mod.next_chunk(set(range(45)), 45, 5) is None
+    # done_indices tolerates blank/garbage lines
+    s = tmp_path / 's.jsonl'
+    s.write_text(json.dumps({'index': 7}) + '\n\nnot json\n'
+                 + json.dumps({'no_index': 1}) + '\n')
+    assert mod.done_indices(s) == {7}
+    assert mod.done_indices(tmp_path / 'absent.jsonl') == set()

@@ -38,30 +38,42 @@ def _decode_kernel(pos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref,
                    o_ref, ko_ref, vo_ref, *, real_dh: int):
     """One batch-block program.
 
-    Refs: pos [1] (SMEM), q/k_new/v_new [Bb,H,Dh], caches [Bb,H,T,Dh]
-    (aliased in->out), out [Bb,H,Dh].
+    Refs: pos [1] (SMEM), q/k_new/v_new [Bb,H,1,Dh], caches [Bb,H,T,Dh]
+    (aliased in->out), out [Bb,H,1,Dh].
+
+    Everything stays rank-4 — Mosaic rejects mid-shape unit-dim inserts
+    (``x[:, :, None, :]`` is an unsupported vector shape cast on TPU), so
+    the callers pre-shape the per-step rows to [B,H,1,Dh] and the kernel
+    uses only same-rank broadcasts and axis reductions.
     """
     pos = pos_ref[0]
-    t = k_ref.shape[2]
 
-    # in-place cache row write at the current position
-    kn = kn_ref[...]
-    vn = vn_ref[...]
-    ko_ref[:, :, pl.ds(pos, 1), :] = kn[:, :, None, :]
-    vo_ref[:, :, pl.ds(pos, 1), :] = vn[:, :, None, :]
+    # Cache row write at the current position, as a masked full-block
+    # select: a dynamic single-row store on the sublane dim would need
+    # 8-aligned indices ("cannot statically prove index is a multiple
+    # of 8"), and the full block is already making one HBM round trip
+    # through the aliased output, so the select costs no extra DMA.
+    row = jax.lax.broadcasted_iota(jnp.int32, k_ref.shape, 2)
+    at_pos = row == pos
+    kc = jnp.where(at_pos, kn_ref[...], k_ref[...])     # [Bb,H,T,Dh]
+    vc = jnp.where(at_pos, vn_ref[...], v_ref[...])
+    ko_ref[...] = kc
+    vo_ref[...] = vc
 
-    # attention over positions <= pos, reading the just-updated cache
-    k = ko_ref[...]                                     # [Bb,H,T,Dh]
-    v = vo_ref[...]
-    q = q_ref[...].astype(jnp.float32)
+    # attention over positions <= pos, on the just-updated cache
+    k = kc.astype(jnp.float32)
+    v = vc.astype(jnp.float32)
+    q = q_ref[...].astype(jnp.float32)                  # [Bb,H,1,Dh]
     scale = 1.0 / np.sqrt(real_dh)
-    s = jnp.sum(q[:, :, None, :] * k.astype(jnp.float32), axis=-1) * scale
+    # s: [Bb,H,T,1] — lane reduce keeps rank
+    s = jnp.sum(q * k, axis=-1, keepdims=True) * scale
     t_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
     s = jnp.where(t_pos <= pos, s, _NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.max(s, axis=2, keepdims=True)               # [Bb,H,1,1]
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.sum(p[..., None] * v.astype(jnp.float32), axis=2)
+    p = p / jnp.sum(p, axis=2, keepdims=True)
+    # o: [Bb,H,1,Dh] — sublane reduce with keepdims
+    o = jnp.sum(p * v, axis=2, keepdims=True)
     o_ref[...] = o.astype(o_ref.dtype)
 
 
@@ -87,25 +99,30 @@ def decode_step_attention(
     assert b % block_b == 0, (b, block_b)
     pos_arr = jnp.asarray(position, jnp.int32).reshape(1)
 
-    bspec3 = pl.BlockSpec((block_b, h, dh), lambda i: (i, 0, 0))
+    # rank-extend OUTSIDE the kernel (free in XLA; unsupported in Mosaic)
+    q4 = q[:, :, None, :]
+    kn4 = k_new[:, :, None, :]
+    vn4 = v_new[:, :, None, :]
+
+    bspec_row = pl.BlockSpec((block_b, h, 1, dh), lambda i: (i, 0, 0, 0))
     bspec4 = pl.BlockSpec((block_b, h, t, dh), lambda i: (i, 0, 0, 0))
     out, k2, v2 = pl.pallas_call(
         functools.partial(_decode_kernel, real_dh=dh),
         grid=(b // block_b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            bspec3, bspec3, bspec3, bspec4, bspec4,
+            bspec_row, bspec_row, bspec_row, bspec4, bspec4,
         ],
-        out_specs=[bspec3, bspec4, bspec4],
+        out_specs=[bspec_row, bspec4, bspec4],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, dh), q.dtype),
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         input_output_aliases={4: 1, 5: 2},
         interpret=interpret,
-    )(pos_arr, q, k_new, v_new, k_cache, v_cache)
-    return out, k2, v2
+    )(pos_arr, q4, kn4, vn4, k_cache, v_cache)
+    return out[:, :, 0, :], k2, v2
 
 
 def decode_step_attention_xla(q, k_new, v_new, k_cache, v_cache, position):

@@ -244,6 +244,17 @@ def train(
                 restored, meta, mcfg, tokenizer=tokenizer, seed=tcfg.seed)
             for act in migrations:
                 log_fn(f'[resume][migrate] {act}')
+            # params-only bf16 snapshots (scripts/snapshot_params.py) must
+            # become fp32 master weights again: bf16 masters quantize away
+            # fine-tune-scale updates (~1e-5 on O(0.1) weights is below
+            # bf16's ~0.4% relative precision)
+            def _fp32_masters(tree):
+                return jax.tree.map(
+                    lambda x: x.astype(jnp.float32)
+                    if getattr(x, 'dtype', None) == jnp.bfloat16 else x,
+                    tree)
+            restored = {k: (_fp32_masters(v) if k.endswith('_params') else v)
+                        for k, v in restored.items()}
             state = state.replace(
                 enc_params=restored['enc_params'],
                 dec_params=restored['dec_params'],

@@ -343,6 +343,52 @@ def test_latest_checkpoint_prefers_highest_epoch(tmp_path):
     assert latest_checkpoint(tmp_path).name == 'interrupt'
 
 
+def test_resume_upcasts_bf16_snapshot_to_fp32_masters(tmp_path):
+    """Resuming a params-only bf16 snapshot (scripts/snapshot_params.py)
+    must restore fp32 master weights: bf16 masters quantize away
+    fine-tune-scale updates (~1e-5 on O(0.1) weights is below bf16's
+    ~0.4% relative precision)."""
+    import json
+    import orbax.checkpoint as ocp
+    mcfg = tiny_test_config()
+    ds = synthetic_dataset(n=32, max_len=mcfg.max_len,
+                           magpie_dim=mcfg.magpie_dim)
+    cfg = small_train_config(num_epochs=1)
+    cfg.checkpoint_interval = 1
+    train(model_config=mcfg, train_config=cfg, dataset=ds,
+          output_dir=tmp_path / 'run', use_mesh=False, log_fn=lambda *a: None)
+
+    # downcast the saved params to bf16, params-only (what the snapshot
+    # script produces after a VM restore wipes the full-state checkpoint)
+    from superconductor_vae_tpu.checkpoint import (
+        latest_checkpoint, load_checkpoint)
+    src = latest_checkpoint(tmp_path / 'run' / 'checkpoints')
+    restored, meta = load_checkpoint(src)
+    snap = tmp_path / 'snap'
+    snap.mkdir()
+    payload = {k: jax.tree.map(lambda x: np.asarray(x, jnp.bfloat16)
+                               if np.issubdtype(np.asarray(x).dtype,
+                                                np.floating) else x, v)
+               for k, v in restored.items() if k.endswith('_params')}
+    payload['step'] = restored['step']
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(snap / 'state', payload)
+    (snap / 'meta.json').write_text(json.dumps(meta))
+
+    cfg2 = small_train_config(num_epochs=2)
+    cfg2.checkpoint_interval = 1
+    cfg2.resume = str(snap)
+    train(model_config=mcfg, train_config=cfg2, dataset=ds,
+          output_dir=tmp_path / 'run2', use_mesh=False,
+          log_fn=lambda *a: None)
+    # the post-resume checkpoint holds fp32 masters again
+    out = latest_checkpoint(tmp_path / 'run2' / 'checkpoints')
+    restored2, _ = load_checkpoint(out)
+    leaves = jax.tree.leaves(restored2['enc_params'])
+    assert all(np.asarray(l).dtype == np.float32 for l in leaves
+               if np.issubdtype(np.asarray(l).dtype, np.floating))
+
+
 def test_latest_checkpoint_skips_incomplete_save(tmp_path):
     """A crash mid-save leaves meta.json next to an orbax tmp dir but no
     'state'; resume must skip it instead of crash-looping on restore."""

@@ -55,6 +55,11 @@ def main():
         import jax
         jax.config.update('jax_platforms', 'cpu')
 
+    # per-target rerun subprocesses (holdout_rerun_misses.py) share the
+    # decode executables across processes via the on-disk cache
+    from superconductor_vae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     from superconductor_vae_tpu.checkpoint import load_checkpoint
     from superconductor_vae_tpu.data import load_dataset

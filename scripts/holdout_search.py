@@ -35,6 +35,11 @@ def main():
                    help='disable head-guided latent optimization')
     p.add_argument('--no-inverse', action='store_true',
                    help='disable local inverse-regression queries')
+    p.add_argument('--no-inversion', action='store_true',
+                   help='disable direct decoder inversion (TF-CE gradient '
+                        'descent on z toward the exact target sequence)')
+    p.add_argument('--inversion-starts', type=int, default=24)
+    p.add_argument('--inversion-steps', type=int, default=384)
     p.add_argument('--guided-starts', type=int, default=16)
     p.add_argument('--constrain-elements', action='store_true',
                    help='restrict decode to the target element set '
@@ -100,6 +105,9 @@ def main():
                             refine_rounds=args.refine_rounds,
                             guided=not args.no_guided,
                             guided_starts=args.guided_starts,
+                            inversion=not args.no_inversion,
+                            inversion_starts=args.inversion_starts,
+                            inversion_steps=args.inversion_steps,
                             inverse_regression=not args.no_inverse,
                             constrain_elements=args.constrain_elements,
                             decode_chunk=args.decode_chunk,

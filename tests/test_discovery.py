@@ -274,6 +274,77 @@ class TestHoldoutSearch:
         # final snapshots are the last len(z0) rows
         assert frac_err(zg[-len(z0):]) < frac_err(z0)
 
+    def test_decoder_inversion(self, tmp_path):
+        """Decoder inversion must (a) build a round-tripping canonical token
+        target, (b) reduce the teacher-forced CE of that sequence vs the
+        initial latents, even on an untrained model, (c) skip targets with
+        no in-vocab spelling."""
+        import json
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from superconductor_vae_tpu.models import MaterialsEncoder, FormulaDecoder
+        from superconductor_vae_tpu.models.config import tiny_test_config
+        from superconductor_vae_tpu.data import synthetic_dataset
+        from superconductor_vae_tpu.data.pipeline import canonical_composition_key
+        from superconductor_vae_tpu.generation import SuperconductorDiscoveryPipeline
+        from superconductor_vae_tpu.generation.holdout_search import HoldoutSearch
+        from superconductor_vae_tpu.tokenizer import PAD_ID, default_tokenizer
+
+        cfg = tiny_test_config()
+        ds = synthetic_dataset(n=32, max_len=cfg.max_len, magpie_dim=cfg.magpie_dim)
+        tok = default_tokenizer(max_len=cfg.max_len)
+        rng = jax.random.PRNGKey(0)
+        enc = MaterialsEncoder(cfg)
+        eparams = enc.init(rng, jnp.asarray(ds.element_indices[:2]),
+                           jnp.asarray(ds.element_fractions[:2]),
+                           jnp.asarray(ds.element_mask[:2]),
+                           jnp.asarray(ds.magpie[:2]), jnp.asarray(ds.tc[:2]))
+        dec = FormulaDecoder(cfg)
+        dparams = dec.init(rng, jnp.zeros((2, cfg.latent_dim)),
+                           jnp.asarray(ds.tokens[:2]),
+                           jnp.zeros((2, cfg.stoich_input_dim)),
+                           jnp.zeros((2, cfg.heads_input_dim)))
+        pipe = SuperconductorDiscoveryPipeline(enc, dec, eparams, dparams, tok, ds)
+        hpath = tmp_path / 'holdout.json'
+        hpath.write_text(json.dumps({'holdout_samples': [
+            {'formula': 'YBa2Cu3O7', 'Tc': 92.0}]}))
+        search = HoldoutSearch(pipe, holdout_path=hpath)
+
+        # (a) canonical token target round-trips at composition level, in
+        # alphabetical (corpus) element order
+        ids = search._target_token_ids('Cu3Ba2YO7')
+        assert ids is not None
+        decoded = tok.decode(ids)
+        assert decoded.startswith('Ba')
+        assert (canonical_composition_key(decoded)
+                == canonical_composition_key('YBa2Cu3O7'))
+
+        # (c) out-of-vocab fraction -> no inversion target
+        assert search._target_token_ids('Y(123457/200003)Ba2Cu3O7') is None
+
+        # (b) TF-CE decreases from init to the final snapshots
+        z0 = jnp.asarray(np.random.default_rng(1).normal(
+            size=(4, cfg.latent_dim)).astype(np.float32))
+        zi = search.decoder_inversion_latents('YBa2Cu3O7', z0, steps=60,
+                                              n_snapshots=2)
+        assert zi.shape == (8, cfg.latent_dim)
+        assert np.isfinite(np.asarray(zi)).all()
+
+        toks = jnp.asarray(np.tile(ids[None], (4, 1)))
+
+        def tf_ce(z):
+            full = enc.apply(eparams, z, method=MaterialsEncoder.heads_from_z)
+            heads = dec.apply(dparams, z, toks, full['stoich'],
+                              full['heads_vec'])
+            lp = jax.nn.log_softmax(
+                heads['logits'].astype(jnp.float32), axis=-1)
+            tgt = toks[:, 1:]
+            mask = (tgt != PAD_ID).astype(jnp.float32)
+            ce = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+            return float(((ce * mask).sum(-1) / mask.sum(-1)).mean())
+
+        assert tf_ce(zi[-4:]) < tf_ce(z0)
+
     def test_element_constrained_decode(self, tmp_path):
         """constrain_elements mode must only emit target-set elements."""
         import json

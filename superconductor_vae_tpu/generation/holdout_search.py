@@ -61,6 +61,13 @@ class HoldoutResult:
     # attribution so extensions beyond the reference's strategy set stay
     # auditable in the campaign stream
     found_by: Optional[str] = None
+    # decoder-inversion endpoint diagnostics (best across starts/rounds):
+    # 'tf_ce_min' = teacher-forced CE of the exact target sequence at the
+    # final z; 'tf_argmax_max' = fraction of positions where the target
+    # token is the TF argmax; 'tf_argmax_full' = #starts with argmax match
+    # at EVERY position (greedy decode then provably reproduces the target
+    # unless the generation-loop stop/type machinery intervenes)
+    inversion_diag: Optional[Dict[str, float]] = None
 
 
 def element_presence(formulas: List[str]) -> np.ndarray:
@@ -312,10 +319,14 @@ class HoldoutSearch:
             snap_every = max(steps // n_snapshots, 1)
             tx = optax.adam(lr)
 
-            def obj(z, z0, toks):
-                full = enc.apply(self.pipe.enc_params, z,
+            # params enter as jit ARGUMENTS: closing over them would bake
+            # all 108M weights into the HLO as literal constants, and the
+            # serialized compile request then exceeds the axon tunnel's
+            # remote_compile body limit (observed HTTP 413 mid-campaign)
+            def obj(ep, dp, z, z0, toks):
+                full = enc.apply(ep, z,
                                  method=MaterialsEncoder.heads_from_z)
-                heads = dec.apply(self.pipe.dec_params, z, toks,
+                heads = dec.apply(dp, z, toks,
                                   full['stoich'], full['heads_vec'])
                 logits = heads['logits'].astype(jnp.float32)   # [B, T-1, V]
                 tgt = toks[:, 1:]
@@ -330,23 +341,59 @@ class HoldoutSearch:
                 reg = trust * ((z - z0) ** 2).sum(-1)
                 return (ce + stop_w * sbce + reg).sum()
 
+            def diag(ep, dp, z, toks):
+                full = enc.apply(ep, z,
+                                 method=MaterialsEncoder.heads_from_z)
+                heads = dec.apply(dp, z, toks,
+                                  full['stoich'], full['heads_vec'])
+                logits = heads['logits'].astype(jnp.float32)
+                tgt = toks[:, 1:]
+                mask = (tgt != PAD_ID).astype(jnp.float32)
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                ce = -jnp.take_along_axis(lp, tgt[..., None], -1)[..., 0]
+                ce = (ce * mask).sum(-1) / jnp.clip(mask.sum(-1), 1.0)
+                am = (logits.argmax(-1) == tgt).astype(jnp.float32)
+                am = (am * mask).sum(-1) / jnp.clip(mask.sum(-1), 1.0)
+                return ce, am
+
             @jax.jit
-            def run(z0, toks):
+            def run(ep, dp, z0, toks):
                 def step(carry, i):
                     z, opt_state = carry
-                    g = jax.grad(obj)(z, z0, toks)
+                    g = jax.grad(obj, argnums=2)(ep, dp, z, z0, toks)
                     upd, opt_state = tx.update(g, opt_state, z)
                     z = optax.apply_updates(z, upd)
                     snap = jnp.where((i + 1) % snap_every == 0, 1, 0)
                     return (z, opt_state), (snap, z)
-                (_, _), (snaps, traj) = jax.lax.scan(
+                (zf, _), (snaps, traj) = jax.lax.scan(
                     step, (z0, tx.init(z0)), jnp.arange(steps))
                 idx = jnp.flatnonzero(snaps, size=n_snapshots,
                                       fill_value=steps - 1)
-                return traj[idx].reshape(-1, z0.shape[-1])
+                ce, am = diag(ep, dp, zf, toks)
+                return traj[idx].reshape(-1, z0.shape[-1]), ce, am
             self._jit_cache[key] = run
         toks = jnp.asarray(np.tile(ids[None], (len(z_init), 1)))
-        return self._jit_cache[key](jnp.asarray(z_init), toks)
+        out, ce, am = self._jit_cache[key](self.pipe.enc_params,
+                                           self.pipe.dec_params,
+                                           jnp.asarray(z_init), toks)
+        self.last_inversion_diag = {
+            'tf_ce_min': float(ce.min()),
+            'tf_argmax_max': float(am.max()),
+            'tf_argmax_full': int((np.asarray(am) >= 1.0).sum())}
+        return out
+
+    def _inversion_safe(self, target: str, z_init: jnp.ndarray,
+                        steps: int) -> Optional[jnp.ndarray]:
+        """Inversion is one strategy of several: a runtime failure (e.g. a
+        tunnel-side compile rejection) must degrade to the remaining
+        strategy families, not abort the target's whole search budget."""
+        try:
+            return self.decoder_inversion_latents(target, z_init,
+                                                  steps=steps)
+        except Exception as e:  # noqa: BLE001 — deliberate blanket guard
+            print(f'  [inversion] skipped for {target}: '
+                  f'{type(e).__name__}: {e}', flush=True)
+            return None
 
     def _anchor_latents(self, target: str, cache, n: int = 16) -> jnp.ndarray:
         """Fixed-count anchor set for guided navigation: same-element-set
@@ -766,11 +813,29 @@ class HoldoutSearch:
             # the most likely to land an exact hit, so an early success
             # skips the expensive candidate pool entirely
             best, best_sim, best_exact = '', 0.0, False
+            inv_diag = None
+
+            def merge_inv_diag():
+                nonlocal inv_diag
+                d = getattr(self, 'last_inversion_diag', None)
+                if d is None:
+                    return
+                if inv_diag is None:
+                    inv_diag = dict(d)
+                else:
+                    inv_diag['tf_ce_min'] = min(inv_diag['tf_ce_min'],
+                                                d['tf_ce_min'])
+                    inv_diag['tf_argmax_max'] = max(
+                        inv_diag['tf_argmax_max'], d['tf_argmax_max'])
+                    inv_diag['tf_argmax_full'] += d['tf_argmax_full']
+
             if inversion:
                 inv_anchors = self._anchor_latents(target, cache,
                                                    n=inversion_starts)
-                zi = self.decoder_inversion_latents(
-                    target, inv_anchors, steps=inversion_steps)
+                self.last_inversion_diag = None
+                zi = self._inversion_safe(target, inv_anchors,
+                                          steps=inversion_steps)
+                merge_inv_diag()
                 if zi is not None:
                     decode_into_pool(zi, (0.0,),
                                      jax.random.fold_in(t_rng, 600),
@@ -834,11 +899,13 @@ class HoldoutSearch:
                     # inversion re-seeded from the best-match basin: corpus
                     # anchors may sit too far from a valid basin, the best
                     # match's latent centroid rarely does
-                    zv = self.decoder_inversion_latents(
+                    self.last_inversion_diag = None
+                    zv = self._inversion_safe(
                         target, perturb(
                             jnp.tile(cen[None], (inversion_starts, 1)),
                             jax.random.fold_in(t_rng, 700 + r), 0.02),
                         steps=inversion_steps)
+                    merge_inv_diag()
                     if zv is not None:
                         decode_into_pool(zv, (0.0,),
                                          jax.random.fold_in(t_rng, 710 + r),
@@ -893,7 +960,8 @@ class HoldoutSearch:
                 best_similarity=best_sim, n_candidates=len(by_formula),
                 consistent=consistent, consistency=cons_info,
                 oracle_formula=oracle_f, oracle_match=oracle_m,
-                found_by=first_label.get(best)))
+                found_by=first_label.get(best),
+                inversion_diag=inv_diag))
             log_fn(f'[{target_offset + t_i + 1}] {target}: '
                    f'best={best!r} sim={best_sim:.3f} '
                    f'{"EXACT[" + str(first_label.get(best)) + "]" if best_exact else ""}'

@@ -60,7 +60,8 @@ class SuperconductorDiscoveryPipeline:
     def decode_latents(self, z: jnp.ndarray, temperature: float = 0.0,
                        rng: Optional[jax.Array] = None,
                        type_masks: Optional[jnp.ndarray] = None,
-                       chunk: Optional[int] = None) -> List[str]:
+                       chunk: Optional[int] = None,
+                       pure_greedy: bool = False) -> List[str]:
         """z -> formulas via encoder heads + batched KV-cache decode.
 
         The whole head-assembly + rollout is ONE jitted program per
@@ -74,17 +75,28 @@ class SuperconductorDiscoveryPipeline:
         reference-scale candidate pools (~30K latents/target,
         scratch/HOLDOUT_SEARCH_TECHNIQUE_REPORT.md run-2 protocol) while
         keeping a single compile across every call site.
+
+        ``pure_greedy``: decode with NO generation-time gates (no stop
+        boost / hard stop / type masking / site-dup suppress) — the
+        rollout is then plain per-step argmax, the exact quantity decoder
+        inversion optimizes: its teacher-forced argmax diagnostic equals
+        this rollout by induction, while the stop-prob EOS boost
+        (generate.py:71-87, reference autoregressive_decoder.py:1437-1457)
+        can truncate a long formula whose stop head fires early even when
+        every TF argmax matches the target.
         """
         greedy = temperature < 0.01
-        key = ('decode', greedy)
+        key = ('decode', greedy, pure_greedy)
         if not hasattr(self, '_jit_cache'):
             self._jit_cache = {}
         if key not in self._jit_cache:
             gcfg = GenerationConfig(
                 max_len=self.decoder.cfg.max_len,
                 temperature=0.0 if greedy else 1.0,
-                stop_boost=10.0, hard_stop_threshold=0.8,
-                use_type_masking=self.type_masks is not None)
+                stop_boost=0.0 if pure_greedy else 10.0,
+                hard_stop_threshold=0.0 if pure_greedy else 0.8,
+                use_type_masking=(self.type_masks is not None
+                                  and not pure_greedy))
 
             @jax.jit
             def run(enc_params, dec_params, z, rng, temp, tm):

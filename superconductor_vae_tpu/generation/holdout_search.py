@@ -778,7 +778,8 @@ class HoldoutSearch:
             tmask = (self._element_type_masks(target)
                      if constrain_elements else None)
 
-            def decode_into_pool(zc, temps, rng_, label='pool'):
+            def decode_into_pool(zc, temps, rng_, label='pool',
+                                 pure_greedy=False):
                 offset = sum(len(p) for p in pool_z)
                 pool_z.append(np.asarray(zc))
                 for s, temp in enumerate(temps):
@@ -788,7 +789,8 @@ class HoldoutSearch:
                         fs = self.pipe.decode_latents(
                             z_use, temperature=temp,
                             rng=jax.random.fold_in(rng_, s * 131 + d),
-                            type_masks=tmask, chunk=decode_chunk)
+                            type_masks=tmask, chunk=decode_chunk,
+                            pure_greedy=pure_greedy)
                         for j, f in enumerate(fs):
                             if f:
                                 by_formula.setdefault(f, []).append(offset + j)
@@ -842,6 +844,15 @@ class HoldoutSearch:
                                      label='inversion')
                     best, best_sim, best_exact = score()
                     if not best_exact:
+                        # ungated argmax rollout: equals the TF-argmax
+                        # diagnostic by induction — catches targets whose
+                        # stop head fires early under the boosted decode
+                        decode_into_pool(zi, (0.0,),
+                                         jax.random.fold_in(t_rng, 603),
+                                         label='inversion_pure',
+                                         pure_greedy=True)
+                        best, best_sim, best_exact = score()
+                    if not best_exact:
                         # small greedy fan around the final states: argmax
                         # ties at the CE optimum sit on basin boundaries
                         fin = zi[-inversion_starts:]
@@ -852,6 +863,12 @@ class HoldoutSearch:
                                          jax.random.fold_in(t_rng, 602),
                                          label='inversion')
                         best, best_sim, best_exact = score()
+                        if not best_exact:
+                            decode_into_pool(
+                                fan, (0.0,),
+                                jax.random.fold_in(t_rng, 604),
+                                label='inversion_pure', pure_greedy=True)
+                            best, best_sim, best_exact = score()
 
             if not best_exact:
                 z = self._candidate_latents(target, cache, budget_per_target,

@@ -222,6 +222,79 @@ class TestHoldoutSearch:
         for a, b in zip(results, sharded):
             assert a == b
 
+    def test_pure_greedy_decode_is_tf_argmax_fixed_point(self):
+        """The ungated argmax rollout (pure_greedy=True) must be a fixed
+        point of teacher-forced argmax: re-feeding the rolled-out tokens
+        through the TF forward reproduces them at every pre-EOS position.
+        The gated decode breaks this whenever the stop-prob EOS boost
+        flips a position (exactly the failure that kept holdout target
+        Hg(33/50)Pb(17/50)Ba2Ca(99/50)Cu(29/10)O(42/5) non-exact while
+        its inversion diagnostic showed a full TF-argmax match)."""
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from superconductor_vae_tpu.models import (
+            MaterialsEncoder, FormulaDecoder,
+        )
+        from superconductor_vae_tpu.models.config import tiny_test_config
+        from superconductor_vae_tpu.data import synthetic_dataset
+        from superconductor_vae_tpu.generation import (
+            SuperconductorDiscoveryPipeline,
+        )
+        from superconductor_vae_tpu.generation.generate import (
+            GenerationConfig, generate_with_kv_cache,
+        )
+        from superconductor_vae_tpu.tokenizer import (
+            BOS_ID, EOS_ID, default_tokenizer,
+        )
+
+        cfg = tiny_test_config()
+        ds = synthetic_dataset(n=8, max_len=cfg.max_len,
+                               magpie_dim=cfg.magpie_dim)
+        tok = default_tokenizer(max_len=cfg.max_len)
+        rng = jax.random.PRNGKey(0)
+        enc = MaterialsEncoder(cfg)
+        eparams = enc.init(rng, jnp.asarray(ds.element_indices[:2]),
+                           jnp.asarray(ds.element_fractions[:2]),
+                           jnp.asarray(ds.element_mask[:2]),
+                           jnp.asarray(ds.magpie[:2]),
+                           jnp.asarray(ds.tc[:2]))
+        dec = FormulaDecoder(cfg)
+        dparams = dec.init(rng, jnp.zeros((2, cfg.latent_dim)),
+                           jnp.asarray(ds.tokens[:2]),
+                           jnp.zeros((2, cfg.stoich_input_dim)),
+                           jnp.zeros((2, cfg.heads_input_dim)))
+        pipe = SuperconductorDiscoveryPipeline(
+            enc, dec, eparams, dparams, tok, ds,
+            type_masks=jnp.asarray(tok.type_masks))
+
+        z = jax.random.normal(jax.random.PRNGKey(7), (4, cfg.latent_dim))
+        full = enc.apply(eparams, z, method=MaterialsEncoder.heads_from_z)
+        gcfg = GenerationConfig(max_len=cfg.max_len, temperature=0.0)
+        rolled = generate_with_kv_cache(
+            dec, dparams, z, full['stoich'], full['heads_vec'],
+            jax.random.PRNGKey(0), gcfg)['tokens']      # [B, T-1], no BOS
+
+        # TF forward over [BOS] + rolled tokens
+        toks = jnp.concatenate(
+            [jnp.full((4, 1), BOS_ID, rolled.dtype), rolled], axis=1)
+        heads = dec.apply(dparams, z, toks, full['stoich'],
+                          full['heads_vec'])
+        tf_argmax = np.asarray(jnp.argmax(heads['logits'], axis=-1))
+        rolled = np.asarray(rolled)
+        for b in range(4):
+            eos = np.where(rolled[b] == EOS_ID)[0]
+            end = (eos[0] + 1) if len(eos) else rolled.shape[1]
+            np.testing.assert_array_equal(tf_argmax[b, :end],
+                                          rolled[b, :end])
+
+        # decode_latents(pure_greedy=True) strings match the ungated
+        # rollout's detokenization, and the two modes compile separately
+        fs = pipe.decode_latents(z, pure_greedy=True)
+        assert fs == [tok.decode(t) for t in rolled]
+        pipe.decode_latents(z)                          # gated greedy
+        assert ('decode', True, True) in pipe._jit_cache
+        assert ('decode', True, False) in pipe._jit_cache
+
     def test_head_guided_latents_descend(self, tmp_path):
         """Guided navigation must reduce the encoder-head mismatch with the
         target's composition (fractions/count), even on an untrained model."""

@@ -16,7 +16,8 @@ without API changes.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+import re
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np
@@ -55,3 +56,72 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array
         return {k: jax.make_array_from_process_local_data(sh, v)
                 for k, v in batch.items()}
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (Megatron-style GSPMD annotations)
+#
+# The reference has no model parallelism at all; here TP is a first-class
+# layout on the mesh's ``model`` axis.  We annotate the weight shardings and
+# let GSPMD insert the collectives (the scaling-book recipe):
+#
+#   column-parallel (shard the OUTPUT feature dim + bias):
+#     attention q/k/v projections, first FFN / head hidden layers
+#   row-parallel (shard the INPUT feature dim, bias replicated):
+#     attention output projections, second FFN layers, the vocab logits
+#     projection (partial products psum'd by GSPMD)
+#   vocab-sharded: the token embedding table's vocab dim
+#
+# A column→row pair needs exactly one all-reduce per pair and keeps the
+# sharded activations on-device between them.  Anything unmatched (LayerNorm,
+# small heads, odd dims) stays replicated — GSPMD numerics are layout-
+# invariant, so TP output is bit-comparable to the replicated run.
+# ---------------------------------------------------------------------------
+
+_TP_COL = re.compile(r'(self|cross)_[qkv]$|^ff1$|^out_d1$')
+_TP_ROW = re.compile(r'(self|cross)_o$|^ff2$|^out_d2$')
+
+
+def _tp_spec(path, leaf, n_model: int) -> P:
+    """PartitionSpec for one param leaf under n_model-way tensor parallelism."""
+    if n_model <= 1:
+        return P()
+    names = [getattr(k, 'key', getattr(k, 'name', '')) for k in path]
+    leafname = names[-1] if names else ''
+    module = names[-2] if len(names) >= 2 else ''
+    if (leafname == 'embedding' and leaf.ndim == 2
+            and leaf.shape[0] % n_model == 0):
+        return P('model', None)
+    col = _TP_COL.search(str(module))
+    row = _TP_ROW.search(str(module))
+    if leafname == 'kernel' and leaf.ndim == 2:
+        if col and leaf.shape[1] % n_model == 0:
+            return P(None, 'model')
+        if row and leaf.shape[0] % n_model == 0:
+            return P('model', None)
+    if leafname == 'bias' and leaf.ndim == 1 and col \
+            and leaf.shape[0] % n_model == 0:
+        return P('model')
+    return P()
+
+
+def tp_param_specs(params: Any, n_model: int) -> Any:
+    """Pytree of PartitionSpecs mirroring ``params`` (for tests/inspection)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: _tp_spec(p, x, n_model), params)
+
+
+def shard_params_tp(params: Any, mesh: Mesh) -> Any:
+    """device_put a param pytree with Megatron-style TP shardings.
+
+    With ``mesh.shape['model'] == 1`` this is plain replication (the DP
+    layout).  Optimizer moments inherit the layout via GSPMD propagation
+    from the sharded gradients, so sharding the params is sufficient.
+    """
+    n_model = int(mesh.shape.get('model', 1))
+
+    def put(path, leaf):
+        return jax.device_put(
+            leaf, NamedSharding(mesh, _tp_spec(path, leaf, n_model)))
+
+    return jax.tree_util.tree_map_with_path(put, params)

@@ -236,13 +236,58 @@ def main():
 
     n_chips = jax.device_count()
     samples_per_s = args.steps * batch_size / dt / n_chips
-    print(json.dumps({
+
+    # RL epoch throughput via the production path: the chunked epoch scan
+    # (train_loop dispatches k-step blocks; reference hot path = 91% of
+    # loss time in REINFORCE, SURVEY §3.3).  Skipped in --rl mode, where
+    # the primary number above already includes rollouts.
+    rl_samples_per_s = None
+    if not args.rl and not args.quick:
+        try:
+            from superconductor_vae_tpu.training.train_step import (
+                make_epoch_runner,
+            )
+            tcfg_rl = dataclasses.replace(
+                tcfg, rl=dataclasses.replace(tcfg.rl, max_len=mcfg.max_len))
+            runner = make_epoch_runner(encoder, decoder, tcfg_rl, tx_enc,
+                                       tx_dec, luts, rl_enabled=True)
+            k_chunk = 8
+            data_dev = {k: jax.device_put(np.asarray(v)) for k, v in
+                        ds.batch(np.arange(batch_size)).items()}
+            idx = np.tile(np.arange(batch_size, dtype=np.int32),
+                          (k_chunk, 1))
+            dyn_rl = default_dyn(tcfg_rl)
+            dyn_rl['rl_w'] = jnp.asarray(1.0)
+            state, sums = runner(state, data_dev, idx,
+                                 jax.random.PRNGKey(2), dyn_rl)
+            jax.block_until_ready(sums['total'])
+            n_rep = 3
+            t0 = time.perf_counter()
+            for i in range(n_rep):
+                state, sums = runner(state, data_dev, idx,
+                                     jax.random.fold_in(rng, 1000 + i),
+                                     dyn_rl)
+            jax.block_until_ready(sums['total'])
+            dt_rl = time.perf_counter() - t0
+            rl_samples_per_s = (n_rep * k_chunk * batch_size / dt_rl
+                                / n_chips)
+        except Exception as e:  # noqa: BLE001 — RL probe must not sink the
+            print(f'# rl probe failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+
+    out = {
         'metric': 'train_samples_per_s_per_chip_108M_multitask'
                   if not args.quick else 'train_samples_per_s_quick',
         'value': round(samples_per_s, 2),
         'unit': 'samples/s/chip',
         'vs_baseline': round(samples_per_s / BASELINE_SAMPLES_PER_S, 2),
-    }))
+    }
+    if rl_samples_per_s is not None:
+        # the reference's 19.2 samples/s INCLUDES its REINFORCE epochs
+        out['rl_samples_per_s_per_chip'] = round(rl_samples_per_s, 2)
+        out['rl_vs_baseline'] = round(
+            rl_samples_per_s / BASELINE_SAMPLES_PER_S, 2)
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

@@ -50,8 +50,10 @@ def load_by_encoding(checkpoint, csv, n_samples, cpu):
     restored, meta = load_checkpoint(checkpoint)
     mcfg = ModelConfig(**{k: tuple(v) if isinstance(v, list) else v
                           for k, v in meta['model_config'].items()})
+    from superconductor_vae_tpu.checkpoint import ckpt_skew_transform
     ds = load_dataset(csv, max_len=mcfg.max_len,
-                      tokenizer=default_tokenizer(max_len=mcfg.max_len))
+                      tokenizer=default_tokenizer(max_len=mcfg.max_len),
+                      skew_transform=ckpt_skew_transform(meta))
     n = min(n_samples, len(ds))
     b = ds.batch(np.arange(n))
     enc = MaterialsEncoder(mcfg)

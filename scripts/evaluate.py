@@ -51,11 +51,13 @@ def main():
     )
     from superconductor_vae_tpu.training.train_step import build_luts
 
+    from superconductor_vae_tpu.checkpoint import ckpt_skew_transform
     restored, meta = load_checkpoint(args.checkpoint)
     mcfg = ModelConfig(**meta['model_config'])
     tokenizer = default_tokenizer(max_len=mcfg.max_len)
     ds = load_dataset(args.csv, max_len=mcfg.max_len, tokenizer=tokenizer,
-                      limit=args.limit)
+                      limit=args.limit,
+                      skew_transform=ckpt_skew_transform(meta))
     tcfg = TrainConfig(max_formula_len=mcfg.max_len)
     # reproduce the training run's decode gating (stop boost, type masking,
     # ...) rather than silently using defaults

@@ -68,8 +68,10 @@ def main():
     mcfg = ModelConfig(**{k: tuple(v) if isinstance(v, list) else v
                           for k, v in meta['model_config'].items()})
     tokenizer = default_tokenizer(max_len=mcfg.max_len)
+    from superconductor_vae_tpu.checkpoint import ckpt_skew_transform
     ds = load_dataset(args.csv, max_len=mcfg.max_len, tokenizer=tokenizer,
-                      limit=args.limit)
+                      limit=args.limit,
+                      skew_transform=ckpt_skew_transform(meta))
     tcfg = TrainConfig()
     luts = build_luts(tokenizer)
 

@@ -41,6 +41,8 @@ def main():
     p.add_argument('--sample-draws', type=int, default=2)
     p.add_argument('--decode-chunk', type=int, default=2048)
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--strategy-order', default='tiered',
+                   choices=['tiered', 'inversion_first'])
     p.add_argument('--constrain-elements', action='store_true')
     p.add_argument('--shard-timeout', type=int, default=3600,
                    help='seconds per window subprocess')
@@ -79,6 +81,7 @@ def main():
                    '--sample-draws', str(args.sample_draws),
                    '--decode-chunk', str(args.decode_chunk),
                    '--seed', str(args.seed),
+                   '--strategy-order', args.strategy_order,
                    '--out', str(shard_out)]
             if args.constrain_elements:
                 cmd.append('--constrain-elements')

@@ -51,6 +51,8 @@ def main() -> None:
     ap.add_argument('--seed', type=int, default=1,
                     help='different seed than the base campaign so the '
                          'rerun explores fresh perturbations')
+    ap.add_argument('--strategy-order', default='tiered',
+                    choices=['tiered', 'inversion_first'])
     ap.add_argument('--constrain-elements', action='store_true')
     ap.add_argument('--max-targets', type=int, default=None)
     ap.add_argument('--timeout', type=int, default=2400,
@@ -77,6 +79,7 @@ def main() -> None:
                '--guided-starts', str(args.guided_starts),
                '--seed', str(args.seed),
                '--target-offset', str(idx), '--n-targets', '1',
+               '--strategy-order', args.strategy_order,
                '--stream', args.stream,
                '--out', f'/tmp/holdout_rerun_{idx}.json']
         if args.constrain_elements:

@@ -50,6 +50,13 @@ def main():
     p.add_argument('--sample-slice', type=int, default=4096,
                    help='leading pool rows decoded at sampled temperatures')
     p.add_argument('--sample-draws', type=int, default=2)
+    p.add_argument('--strategy-order', default='tiered',
+                   choices=['tiered', 'inversion_first'],
+                   help="'tiered' runs navigation -> guided -> inversion "
+                        'so exact matches are attributed to the weakest '
+                        'information budget that lands them (the honest '
+                        "reporting protocol); 'inversion_first' is the "
+                        'legacy speed ordering')
     p.add_argument('--out', default='outputs/holdout_results.json')
     p.add_argument('--stream', default=None,
                    help='append each finished target to this JSONL as it '
@@ -74,10 +81,12 @@ def main():
     from superconductor_vae_tpu.models.config import ModelConfig
     from superconductor_vae_tpu.tokenizer import default_tokenizer
 
+    from superconductor_vae_tpu.checkpoint import ckpt_skew_transform
     restored, meta = load_checkpoint(args.checkpoint)
     mcfg = ModelConfig(**meta['model_config'])
     tokenizer = default_tokenizer(max_len=mcfg.max_len)
-    ds = load_dataset(args.csv, max_len=mcfg.max_len, tokenizer=tokenizer)
+    ds = load_dataset(args.csv, max_len=mcfg.max_len, tokenizer=tokenizer,
+                      skew_transform=ckpt_skew_transform(meta))
 
     encoder = MaterialsEncoder(mcfg)
     decoder = FormulaDecoder(mcfg)
@@ -113,6 +122,7 @@ def main():
                             decode_chunk=args.decode_chunk,
                             sample_slice=args.sample_slice,
                             sample_draws=args.sample_draws,
+                            strategy_order=args.strategy_order,
                             seed=args.seed)
     summary = HoldoutSearch.summarize(results)
     print(json.dumps(summary, indent=2))

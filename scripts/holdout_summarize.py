@@ -31,9 +31,21 @@ def summarize(records: list[dict]) -> dict:
     rows = [best[i] for i in sorted(best)]
     sims = [float(r.get('best_similarity', 0.0)) for r in rows]
     n = len(rows)
+    tiers = [r.get('exact_tier') for r in rows]
+    nav = sum(t == 'navigation' for t in tiers)
+    gui = sum(t == 'guided' for t in tiers)
+    inv = sum(t == 'inversion' for t in tiers)
     return {
         'targets_completed': n,
         'exact': sum(bool(r.get('exact')) for r in rows),
+        # information-budget tiers (HoldoutResult.exact_tier):
+        # 'exact_navigation' is the reference-protocol-comparable number
+        'exact_navigation': nav,
+        'exact_guided_cum': nav + gui,
+        'exact_inversion_cum': nav + gui + inv,
+        'exact_tier_unattributed': sum(
+            bool(r.get('exact')) and r.get('exact_tier')
+            in (None, 'mixed') for r in rows),
         'ge_0.99': sum(s >= 0.99 for s in sims),
         'ge_0.95': sum(s >= 0.95 for s in sims),
         'mean_similarity': (sum(sims) / n) if n else 0.0,

@@ -108,6 +108,21 @@ def main():
     p.add_argument('--add-non-sc', type=int, default=0,
                    help='append N non-SC negatives (Materials Project or '
                         'fallback lists)')
+    p.add_argument('--non-sc-dft', default=None,
+                   help='CSV of DFT-computed materials (e.g. JARVIS dft_3d, '
+                        '76K rows) to sample non-SC negatives from — the '
+                        'reference-scale negatives source (reference: '
+                        'scripts/ingest_non_sc.py pulls ~23K negatives from '
+                        'NEMAD + Materials Project; this environment has '
+                        'no egress, JARVIS DFT ships locally)')
+    p.add_argument('--non-sc-dft-n', type=int, default=0,
+                   help='how many DFT negatives to sample; 0 = auto-balance '
+                        'to the SC row count (the reference trains ~50/50, '
+                        'train_v12_clean.py:934-941)')
+    p.add_argument('--non-sc-max-ehull', type=float, default=0.2,
+                   help='stability filter: skip DFT rows with energy above '
+                        'hull over this (eV/atom) when the column exists')
+    p.add_argument('--seed', type=int, default=42)
     p.add_argument('--min-tc-sc', type=float, default=0.0,
                    help='rows with Tc > this are labeled superconducting')
     p.add_argument('--featurize', action='store_true',
@@ -171,6 +186,54 @@ def main():
             'is_superconductor': 0, 'requires_high_pressure': 0,
             'category': d['category']} for d in neg])
         merged = pd.concat([merged, neg_df], ignore_index=True)
+
+    if args.non_sc_dft:
+        from superconductor_vae_tpu.data.pipeline import (
+            MAX_ELEMENTS, canonical_composition_key,
+        )
+        dft = pd.read_csv(args.non_sc_dft)
+        fcol = next(c for c in FORMULA_COLS if c in dft.columns)
+        if 'ehull' in dft.columns:
+            eh = pd.to_numeric(dft['ehull'], errors='coerce')
+            dft = dft[eh.fillna(1e9) <= args.non_sc_max_ehull]
+        # a material SCREENED for superconductivity anywhere in the merged
+        # sources (even at Tc=0) must not re-enter as a DFT negative, and
+        # no negative may collide with an SC composition or a holdout
+        # target — all at composition level (spelling-independent)
+        known = {canonical_composition_key(f) for f in merged['formula']}
+        from superconductor_vae_tpu.data.pipeline import load_holdout_formulas
+        known |= {canonical_composition_key(f)
+                  for f in load_holdout_formulas()}
+        known.discard(None)
+        rows, seen = [], set()
+        # .str.strip() propagates the source column's NaNs as floats even
+        # after astype(str) — drop them explicitly
+        cand = [c for c in dft[fcol].fillna('').astype(str)
+                .str.strip().tolist() if c]
+        rng = np.random.default_rng(args.seed)
+        rng.shuffle(cand)
+        n_sc = int((merged['Tc'] > args.min_tc_sc).sum())
+        n_have = int((merged['Tc'] <= args.min_tc_sc).sum())
+        want = args.non_sc_dft_n or max(n_sc - n_have, 0)
+        for f in cand:
+            comp = parse_formula_composition(f)
+            if not comp or len(comp) > MAX_ELEMENTS:
+                continue
+            spelled = to_fraction_notation(f)
+            k = canonical_composition_key(spelled)
+            if k is None or k in known or k in seen:
+                continue
+            seen.add(k)
+            rows.append({'formula': spelled, 'Tc': 0.0,
+                         'source': 'jarvis_dft_3d',
+                         'is_superconductor': 0,
+                         'requires_high_pressure': 0,
+                         'category': 'Non-SC: Materials Project'})
+            if len(rows) >= want:
+                break
+        print(f'  DFT negatives: {len(rows)} sampled '
+              f'(want {want}; SC rows {n_sc}, prior negatives {n_have})')
+        merged = pd.concat([merged, pd.DataFrame(rows)], ignore_index=True)
 
     if args.featurize:
         from superconductor_vae_tpu.chem import (FEATURE_NAMES,

@@ -83,9 +83,26 @@ def save_checkpoint(root: str | Path, state, mcfg: ModelConfig, tcfg,
             'site_dup_threshold': tcfg.site_dup_threshold,
             'use_type_masking_ar': tcfg.use_type_masking_ar,
         },
+        # data normalization the params were trained under, so offline
+        # eval / holdout search reload the SAME corpus transform (a
+        # checkpoint trained on legacy rank-gauss inputs evaluated on a
+        # quantile-normalized corpus silently shifts every encoder input);
+        # checkpoints without this key predate it -> 'rank_gauss'
+        'data_norm': {
+            'skew_transform': getattr(tcfg, 'skew_transform', 'quantile'),
+            'order_augment': getattr(tcfg, 'order_augment', 0),
+        },
     }
     (path / 'meta.json').write_text(json.dumps(meta, indent=2, default=str))
     return path
+
+
+def ckpt_skew_transform(meta: Dict) -> str:
+    """The Magpie skew transform a checkpoint's params were trained under.
+    Checkpoints saved before the 'data_norm' meta key trained on the legacy
+    jittered rank-gauss corpus — offline eval must reload with the same
+    transform or every encoder input shifts."""
+    return (meta.get('data_norm') or {}).get('skew_transform', 'rank_gauss')
 
 
 def restore_opt_state(template: Any, leaves) -> Any:

@@ -130,7 +130,8 @@ class OrderAugmentation:
                 include_original: bool = True) -> List[str]:
         elements = parse_ordered(formula)
         if len(elements) <= 1:
-            return [formula]
+            # single-element formulas have exactly one spelling
+            return [formula] if include_original else []
         out = [formula] if include_original else []
         seen = {formula}
         target = self.n_augmentations + (1 if include_original else 0)

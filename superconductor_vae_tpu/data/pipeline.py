@@ -107,6 +107,13 @@ class NormStats:
     magpie_skewed_indices: List[int]
     magpie_sc_only_norm: bool
     comp_target_stats: Optional[dict] = None
+    # persisted quantile grids for the skewed columns (aligned with
+    # magpie_skewed_indices; each a sorted value grid subsampled from the
+    # corpus column) — makes the skew transform INVERTIBLE/applicable to
+    # fresh formulas, unlike the legacy per-row-jitter rank-gauss whose
+    # mapping exists only for corpus rows. None => legacy rank-gauss
+    # (round-2 checkpoints); see normalize_fresh_magpie.
+    magpie_quantile_grids: Optional[List[np.ndarray]] = None
 
     def tc_to_kelvin(self, tc_norm: np.ndarray) -> np.ndarray:
         x = tc_norm * self.tc_std + self.tc_mean
@@ -118,6 +125,38 @@ class NormStats:
         x = np.log1p(tc_k) if self.tc_log_transform else np.asarray(tc_k, np.float64)
         return ((x - self.tc_mean) / self.tc_std).astype(np.float32)
 
+    def normalize_fresh_magpie(self, raw: np.ndarray) -> Tuple[np.ndarray,
+                                                               np.ndarray]:
+        """Normalize a FRESH formula's raw Magpie feature vector exactly as
+        the training corpus was normalized: quantile-gaussianize the skewed
+        columns against the persisted grids, then z-score.
+
+        Returns ``(normalized, valid_mask)``: under the legacy rank-gauss
+        stats (no grids) the skewed columns cannot be reproduced for a
+        fresh formula, so they are set to 0 (the corpus mean in z-scored
+        units) and masked out.
+        """
+        raw = np.asarray(raw, np.float64).copy()
+        if raw.shape[-1] != np.asarray(self.magpie_mean).shape[0]:
+            raise ValueError(
+                f'raw feature dim {raw.shape[-1]} != corpus magpie dim '
+                f'{np.asarray(self.magpie_mean).shape[0]} — the fresh '
+                'vector must be in the corpus column layout (use the '
+                'magpie bridge for reference-layout corpora)')
+        valid = np.ones(raw.shape[-1], np.float32)
+        if self.magpie_quantile_grids is not None:
+            for i, grid in zip(self.magpie_skewed_indices,
+                               self.magpie_quantile_grids):
+                raw[..., i] = quantile_gaussianize(raw[..., i],
+                                                   np.asarray(grid))
+        elif self.magpie_skewed_indices:
+            for i in self.magpie_skewed_indices:
+                raw[..., i] = np.asarray(self.magpie_mean)[i]
+                valid[i] = 0.0
+        out = ((raw - np.asarray(self.magpie_mean))
+               / np.asarray(self.magpie_std)).astype(np.float32)
+        return out, valid
+
     def to_json(self) -> dict:
         return {
             'tc_mean': self.tc_mean, 'tc_std': self.tc_std,
@@ -127,6 +166,9 @@ class NormStats:
             'magpie_skewed_indices': list(self.magpie_skewed_indices),
             'magpie_sc_only_norm': self.magpie_sc_only_norm,
             'comp_target_stats': self.comp_target_stats,
+            'magpie_quantile_grids': (
+                [np.asarray(g).tolist() for g in self.magpie_quantile_grids]
+                if self.magpie_quantile_grids is not None else None),
         }
 
 
@@ -146,6 +188,9 @@ class DatasetArrays:
     family: np.ndarray            # [N] int32 14-class
     comp_targets: np.ndarray      # [N, 15] float32 normalized
     norm_stats: NormStats
+    # original-row index per row (rows added by order augmentation share
+    # their source row's index); None => no augmentation (arange identity)
+    aug_group: Optional[np.ndarray] = None
 
     def __len__(self):
         return len(self.tokens)
@@ -171,7 +216,13 @@ class DatasetArrays:
 
 
 def _rank_gaussian(col: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Rank -> uniform -> inverse-normal transform for zero-inflated features."""
+    """Rank -> uniform -> inverse-normal transform for zero-inflated features.
+
+    LEGACY (round-2 checkpoints): the per-row jitter breaks ties randomly,
+    so the mapping exists only for corpus rows — a fresh formula's value
+    cannot be transformed, which is why holdout reconstruction fed skewed
+    columns at their mean. New corpora use the persisted quantile grids
+    (``quantile_gaussianize``) instead."""
     from scipy.special import ndtri
     jittered = col + rng.normal(0, 1e-6, len(col)).astype(np.float32)
     order = np.argsort(jittered, kind='stable')
@@ -179,6 +230,30 @@ def _rank_gaussian(col: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     ranks[order] = np.arange(1, len(col) + 1)
     uniform = (ranks - 0.5) / len(col)
     return ndtri(uniform).astype(np.float32)
+
+
+def build_quantile_grid(col: np.ndarray, n_points: int = 1024) -> np.ndarray:
+    """Sorted value grid at uniformly spaced quantiles of a corpus column —
+    the persisted, fresh-formula-applicable form of the skew transform."""
+    qs = np.linspace(0.0, 1.0, min(n_points, len(col)))
+    return np.quantile(np.asarray(col, np.float64), qs)
+
+
+def quantile_gaussianize(x: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """Map values through a persisted empirical CDF to N(0,1).
+
+    Tied blocks (zero-inflated columns are mostly one value) map to their
+    mid-rank — deterministic, so corpus rows and fresh formulas transform
+    identically (the invertibility the legacy jittered rank-gauss lacked).
+    """
+    from scipy.special import ndtri
+    x = np.asarray(x, np.float64)
+    n = len(grid)
+    lo = np.searchsorted(grid, x, side='left')
+    hi = np.searchsorted(grid, x, side='right')
+    u = (lo + hi) / 2.0 / n
+    u = np.clip(u, 0.5 / n, 1.0 - 0.5 / n)
+    return ndtri(u).astype(np.float32)
 
 
 def load_holdout_formulas(path: Optional[Path] = None) -> List[str]:
@@ -221,6 +296,9 @@ def load_dataset(
     limit: Optional[int] = None,
     drop_unk: bool = True,
     magpie_bridge: Optional[str | Path] = None,
+    skew_transform: str = 'quantile',
+    order_augment: int = 0,
+    order_augment_seed: int = 0,
 ) -> DatasetArrays:
     """CSV -> DatasetArrays, with a content-hash npz cache.
 
@@ -231,7 +309,22 @@ def load_dataset(
     ``magpie_bridge`` maps the CSV's native Magpie features into a
     reference checkpoint's expected layout before normalization
     (chem/featurize.fit_magpie_bridge) so converted reference checkpoints
-    can be evaluated / fine-tuned on natively-featurized corpora."""
+    can be evaluated / fine-tuned on natively-featurized corpora.
+
+    ``skew_transform``: 'quantile' (default) gaussianizes |skew|>threshold
+    columns through persisted quantile grids — deterministic and
+    applicable to FRESH formulas (holdout reconstruction, guided search);
+    'rank_gauss' is the legacy jittered transform round-2 checkpoints
+    were trained on (corpus-rows-only mapping).
+
+    ``order_augment``: K > 0 appends up to K random element-order
+    respellings per multi-element row (reference:
+    data/canonical_ordering.py:228-295 OrderAugmentation) as REAL extra
+    rows — tokens and element slots follow the new appearance order;
+    Tc/Magpie/labels (order-free) are shared.  ``DatasetArrays.aug_group``
+    maps every row to its original-row index and ``compute_sample_weights``
+    splits each original row's weight across its spellings, so an epoch
+    sees the same composition distribution as K=0."""
     import pandas as pd
 
     csv_path = Path(csv_path)
@@ -244,7 +337,8 @@ def load_dataset(
         h.update(f'{max_len}|{skew_threshold}|{sc_only_norm}|'
                  f'{tc_log_transform}|{exclude_holdout}.v2|{limit}|'
                  f'{tokenizer.vocab_size}|{drop_unk}|'
-                 f'{magpie_bridge}'.encode())
+                 f'{magpie_bridge}|{skew_transform}|'
+                 f'{order_augment}.{order_augment_seed}'.encode())
         cache_file = Path(cache_dir) / f'dataset_{h.hexdigest()[:16]}.npz'
         if cache_file.exists():
             return _load_cache(cache_file)
@@ -292,13 +386,21 @@ def load_dataset(
         magpie = apply_magpie_bridge(magpie, load_magpie_bridge(magpie_bridge))
 
     skewed_idx: List[int] = []
+    quantile_grids: Optional[List[np.ndarray]] = None
     if skew_threshold > 0:
         from scipy.stats import skew
         rng = np.random.default_rng(42)
         sk = skew(magpie, axis=0)
         skewed_idx = np.where(np.abs(np.nan_to_num(sk)) > skew_threshold)[0].tolist()
-        for i in skewed_idx:
-            magpie[:, i] = _rank_gaussian(magpie[:, i], rng)
+        if skew_transform == 'quantile':
+            quantile_grids = []
+            for i in skewed_idx:
+                grid = build_quantile_grid(magpie[:, i])
+                quantile_grids.append(grid)
+                magpie[:, i] = quantile_gaussianize(magpie[:, i], grid)
+        else:
+            for i in skewed_idx:
+                magpie[:, i] = _rank_gaussian(magpie[:, i], rng)
 
     stats_rows = sc_mask if (sc_only_norm and sc_mask.any()) else np.ones(len(df), bool)
     mg_mean = magpie[stats_rows].mean(axis=0)
@@ -367,6 +469,7 @@ def load_dataset(
         magpie_mean=mg_mean, magpie_std=mg_std,
         magpie_skewed_indices=skewed_idx, magpie_sc_only_norm=sc_only_norm,
         comp_target_stats=comp_stats,
+        magpie_quantile_grids=quantile_grids,
     )
     ds = DatasetArrays(
         formulas=[f for f, k in zip(formulas, keep) if k],
@@ -379,9 +482,102 @@ def load_dataset(
         family=family[keep], comp_targets=comp_targets[keep],
         norm_stats=norm_stats,
     )
+    if order_augment > 0:
+        ds = _apply_order_augmentation(ds, tokenizer, order_augment,
+                                       order_augment_seed)
     if cache_file is not None:
         _save_cache(cache_file, ds)
     return ds
+
+
+def _apply_order_augmentation(ds: DatasetArrays,
+                              tokenizer: FractionAwareTokenizer,
+                              k: int, seed: int) -> DatasetArrays:
+    """Append up to ``k`` random element-order respellings per multi-element
+    row as real dataset rows (reference: data/canonical_ordering.py:228-295).
+
+    Tokens and element slots follow each new spelling's appearance order —
+    the encoder's element-slot inputs, the fraction head's per-slot targets
+    and the decoder's target sequence all stay mutually consistent per row.
+    Order-free tensors (Tc, Magpie, labels, comp targets) are shared with
+    the source row.  A respelling whose tokenization does not round-trip to
+    the same composition (overlong / out-of-vocab) is skipped."""
+    from .canonical_ordering import OrderAugmentation
+    from ..tokenizer import FRAC_UNK_ID, UNK_ID
+
+    aug = OrderAugmentation(n_augmentations=k, seed=seed)
+    src_rows: List[int] = []
+    spellings: List[str] = []
+    for i, f in enumerate(ds.formulas):
+        for g in aug.augment(f, include_original=False):
+            src_rows.append(i)
+            spellings.append(g)
+    if not spellings:
+        return ds
+
+    from .. import native as _native
+    toks = _native.tokenize_batch(spellings, tokenizer)
+    if toks is None:
+        toks = tokenizer.encode_batch(spellings)
+    toks = toks.astype(np.int32)
+    n = len(spellings)
+    a_idx = np.zeros((n, MAX_ELEMENTS), np.int32)
+    a_frac = np.zeros((n, MAX_ELEMENTS), np.float32)
+    a_mask = np.zeros((n, MAX_ELEMENTS), bool)
+    ok = np.ones(n, bool)
+    max_len = ds.tokens.shape[1]
+    for j, f in enumerate(spellings):
+        comp_items = []  # appearance order
+        seen: Dict[str, int] = {}
+        for m in _COMP_SCAN.finditer(f):
+            el = m.group('el')
+            if not el or el not in SYMBOL_TO_Z:
+                continue
+            qty = 1.0
+            if m.group('num') is not None:
+                den = int(m.group('den'))
+                qty = int(m.group('num')) / den if den else 1.0
+            elif m.group('dec') is not None:
+                qty = float(m.group('dec'))
+            elif m.group('int') is not None:
+                qty = float(int(m.group('int')))
+            if el in seen:
+                comp_items[seen[el]][1] += qty
+            else:
+                seen[el] = len(comp_items)
+                comp_items.append([el, qty])
+        total = sum(q for _, q in comp_items) or 1.0
+        if not comp_items or len(comp_items) > MAX_ELEMENTS:
+            ok[j] = False
+            continue
+        for s, (el, qty) in enumerate(comp_items):
+            a_idx[j, s] = SYMBOL_TO_Z[el]
+            a_frac[j, s] = qty / total
+            a_mask[j, s] = True
+        # a respelling is exactly the original's tokens reordered, so it
+        # fits max_len iff the original did; UNK can only appear if the
+        # respelling failed to round-trip through the tokenizer
+        row = toks[j]
+        if ((row == UNK_ID) | (row == FRAC_UNK_ID)).any():
+            ok[j] = False
+    src = np.asarray(src_rows)[ok]
+    order = np.arange(len(ds))
+    return DatasetArrays(
+        formulas=ds.formulas + [s for s, o in zip(spellings, ok) if o],
+        tokens=np.concatenate([ds.tokens, toks[ok]]),
+        element_indices=np.concatenate([ds.element_indices, a_idx[ok]]),
+        element_fractions=np.concatenate([ds.element_fractions, a_frac[ok]]),
+        element_mask=np.concatenate([ds.element_mask, a_mask[ok]]),
+        tc=np.concatenate([ds.tc, ds.tc[src]]),
+        magpie=np.concatenate([ds.magpie, ds.magpie[src]]),
+        is_sc=np.concatenate([ds.is_sc, ds.is_sc[src]]),
+        label=np.concatenate([ds.label, ds.label[src]]),
+        hp=np.concatenate([ds.hp, ds.hp[src]]),
+        family=np.concatenate([ds.family, ds.family[src]]),
+        comp_targets=np.concatenate([ds.comp_targets, ds.comp_targets[src]]),
+        norm_stats=ds.norm_stats,
+        aug_group=np.concatenate([order, src]).astype(np.int32),
+    )
 
 
 def _save_cache(path: Path, ds: DatasetArrays) -> None:
@@ -394,6 +590,8 @@ def _save_cache(path: Path, ds: DatasetArrays) -> None:
         tc=ds.tc, magpie=ds.magpie, is_sc=ds.is_sc, label=ds.label,
         hp=ds.hp, family=ds.family, comp_targets=ds.comp_targets,
         norm_stats=np.array(json.dumps(ds.norm_stats.to_json()), dtype=object),
+        aug_group=(ds.aug_group if ds.aug_group is not None
+                   else np.array([], np.int32)),
         allow_pickle=True,
     )
 
@@ -401,6 +599,7 @@ def _save_cache(path: Path, ds: DatasetArrays) -> None:
 def _load_cache(path: Path) -> DatasetArrays:
     blob = np.load(path, allow_pickle=True)
     st = json.loads(str(blob['norm_stats']))
+    grids = st.get('magpie_quantile_grids')
     norm_stats = NormStats(
         tc_mean=st['tc_mean'], tc_std=st['tc_std'],
         tc_log_transform=st['tc_log_transform'],
@@ -409,7 +608,12 @@ def _load_cache(path: Path) -> DatasetArrays:
         magpie_skewed_indices=st['magpie_skewed_indices'],
         magpie_sc_only_norm=st['magpie_sc_only_norm'],
         comp_target_stats=st.get('comp_target_stats'),
+        magpie_quantile_grids=([np.asarray(g) for g in grids]
+                               if grids is not None else None),
     )
+    aug_group = blob['aug_group'] if 'aug_group' in blob else None
+    if aug_group is not None and aug_group.size == 0:
+        aug_group = None
     return DatasetArrays(
         formulas=list(blob['formulas']),
         tokens=blob['tokens'], element_indices=blob['element_indices'],
@@ -417,7 +621,7 @@ def _load_cache(path: Path) -> DatasetArrays:
         element_mask=blob['element_mask'], tc=blob['tc'],
         magpie=blob['magpie'], is_sc=blob['is_sc'], label=blob['label'],
         hp=blob['hp'], family=blob['family'], comp_targets=blob['comp_targets'],
-        norm_stats=norm_stats,
+        norm_stats=norm_stats, aug_group=aug_group,
     )
 
 
@@ -457,4 +661,10 @@ def compute_sample_weights(
             mask = (tc_k >= thr) & (ds.is_sc == 1)
             boost[mask] = bins[thr]
         w = w * boost
+    if ds.aug_group is not None:
+        # order augmentation: split each original row's probability mass
+        # across its spellings so the per-composition distribution an epoch
+        # sees is unchanged by K
+        counts = np.bincount(ds.aug_group, minlength=ds.aug_group.max() + 1)
+        w = w / counts[ds.aug_group]
     return (w / w.sum()).astype(np.float64)

@@ -61,6 +61,18 @@ class HoldoutResult:
     # attribution so extensions beyond the reference's strategy set stay
     # auditable in the campaign stream
     found_by: Optional[str] = None
+    # information-budget tier at which the exact match landed (tiered
+    # strategy order only): 'navigation' = reference-parity strategies
+    # (element-set anchors + pool/perturb/interp/PCA + refine; no
+    # fraction-level target supervision), 'guided' = target-property-guided
+    # (head-guided descent / inverse regression query the target's exact
+    # fractions+Magpie+Tc), 'inversion' = decoder inversion (optimizes the
+    # exact target token sequence — measures decoder invertibility, not
+    # latent-space organization). None when no exact match.
+    exact_tier: Optional[str] = None
+    # best similarity achieved at the END of each tier that ran — the
+    # per-information-budget trajectory ({'navigation': 0.997, ...})
+    tier_sim: Optional[Dict[str, float]] = None
     # decoder-inversion endpoint diagnostics (best across starts/rounds):
     # 'tf_ce_min' = teacher-forced CE of the exact target sequence at the
     # final z; 'tf_argmax_max' = fraction of positions where the target
@@ -152,10 +164,11 @@ class HoldoutSearch:
 
         # Magpie head target: the corpus's feature columns come from
         # chem/featurize.composition_features, so the target's vector can be
-        # computed in-layout; only columns with invertible normalization
-        # participate (skewed columns are rank-gaussianized against the
-        # corpus, data/pipeline.py:295-301, and cannot be reproduced for a
-        # fresh formula)
+        # computed in-layout. With a quantile-grid skew transform
+        # (NormStats.magpie_quantile_grids, the default since round 3) the
+        # FULL vector is reproducible for a fresh formula; under legacy
+        # rank-gauss stats the skewed columns are fed at their mean and
+        # masked out (they cannot be reproduced, data/pipeline.py).
         ns = self.pipe.ds.norm_stats
         mdim = self.pipe.ds.magpie_dim
         mg_star = np.zeros(mdim, np.float32)
@@ -163,10 +176,7 @@ class HoldoutSearch:
         from ..chem.featurize import formula_features
         raw = formula_features(target)
         if len(raw) == mdim and np.asarray(ns.magpie_mean).shape[0] == mdim:
-            mg_star = ((raw - np.asarray(ns.magpie_mean))
-                       / np.asarray(ns.magpie_std)).astype(np.float32)
-            mg_mask = np.ones(mdim, np.float32)
-            mg_mask[list(ns.magpie_skewed_indices)] = 0.0
+            mg_star, mg_mask = ns.normalize_fresh_magpie(raw)
             mg_star = mg_star * mg_mask
         return (f_star, m_star, np.float32(len(comp)), np.float32(tc_star),
                 tc_w, mg_star, mg_mask)
@@ -207,7 +217,11 @@ class HoldoutSearch:
         if order_free:
             f_star = np.sort(f_star)[::-1].copy()
             m_star = np.sort(m_star)[::-1].copy()
-        key = ('guided', len(z_init), steps, n_snapshots, order_free)
+        # lr/trust are baked into the compiled optimizer closure, so they
+        # MUST be part of the cache key (a later call with different lr
+        # would otherwise silently reuse the old compiled descent)
+        key = ('guided', len(z_init), steps, n_snapshots, order_free,
+               lr, trust)
         if not hasattr(self, '_jit_cache'):
             self._jit_cache = {}
         if key not in self._jit_cache:
@@ -640,10 +654,11 @@ class HoldoutSearch:
 
     def oracle_encode_latent(self, target: str) -> Optional[jnp.ndarray]:
         """Encode the target composition directly: elements in the corpus's
-        alphabetical convention, normalized fractions, z-scored Magpie
-        features (skewed columns at their mean — rank-gauss normalization
-        is not reproducible for a fresh formula, data/pipeline.py:295-301),
-        and the known Tc. This is holdout RECONSTRUCTION — generalization to
+        alphabetical convention, normalized fractions, the full z-scored
+        Magpie vector (skewed columns through the persisted quantile grids
+        when present — legacy rank-gauss stats fall back to the column
+        mean, data/pipeline.py::NormStats.normalize_fresh_magpie), and the
+        known Tc. This is holdout RECONSTRUCTION — generalization to
         unseen inputs — not generative navigation, so it is reported as a
         diagnostic next to (never inside) the reference-comparable search
         pool."""
@@ -737,12 +752,33 @@ class HoldoutSearch:
                sample_draws: int = 2,
                decode_chunk: int = 2048,
                target_offset: int = 0,
+               strategy_order: str = 'tiered',
                log_fn=print,
                stream_fn=None) -> List[HoldoutResult]:
         """``refine_rounds``: zoom-in passes re-seeding a fine perturbation
-        sweep from the best candidate's latent centroid (the reference's
+        sweep around the best candidate's latent centroid (the reference's
         targeted search does the same around promising matches,
         holdout_search_targeted.py:441-545).
+
+        ``strategy_order`` controls information-budget stratification:
+
+        - ``'tiered'`` (default, the honest reporting protocol): strategies
+          run in escalating information tiers — *navigation* (pool +
+          perturbation-only refine; only the target's element set picks
+          anchors, matching the reference's information budget,
+          holdout_search_targeted.py:364-545) -> *guided* (head-guided
+          descent + inverse regression, which consume the target's exact
+          fractions / Magpie / Tc) -> *inversion* (TF-CE descent on the
+          exact target token sequence).  Each tier only starts if the
+          previous one failed to land an exact match, so
+          ``HoldoutResult.exact_tier`` cleanly attributes every exact to
+          the weakest information budget that achieved it, and navigation-
+          tier refine never zooms in on latents produced by an
+          information-advantaged strategy.
+        - ``'inversion_first'``: the legacy speed ordering (inversion runs
+          first because it lands most often and an early hit skips the
+          expensive pool).  ``exact_tier`` is then attributed from
+          ``found_by`` alone, which is ambiguous for 'refine' hits.
 
         Temperature protocol at scale (reference run 2 decodes every
         candidate greedily and temperature-samples a seed subset,
@@ -811,11 +847,10 @@ class HoldoutSearch:
                         best, best_sim, best_exact = f, sim, is_exact
                 return best, best_sim, best_exact
 
-            # decoder inversion runs FIRST: it is the cheapest strategy and
-            # the most likely to land an exact hit, so an early success
-            # skips the expensive candidate pool entirely
             best, best_sim, best_exact = '', 0.0, False
             inv_diag = None
+            tier_sim: Dict[str, float] = {}
+            exact_tier: Optional[str] = None
 
             def merge_inv_diag():
                 nonlocal inv_diag
@@ -831,122 +866,187 @@ class HoldoutSearch:
                         inv_diag['tf_argmax_max'], d['tf_argmax_max'])
                     inv_diag['tf_argmax_full'] += d['tf_argmax_full']
 
-            if inversion:
-                inv_anchors = self._anchor_latents(target, cache,
-                                                   n=inversion_starts)
-                self.last_inversion_diag = None
-                zi = self._inversion_safe(target, inv_anchors,
-                                          steps=inversion_steps)
-                merge_inv_diag()
-                if zi is not None:
-                    decode_into_pool(zi, (0.0,),
-                                     jax.random.fold_in(t_rng, 600),
-                                     label='inversion')
-                    best, best_sim, best_exact = score()
-                    if not best_exact:
-                        # ungated argmax rollout: equals the TF-argmax
-                        # diagnostic by induction — catches targets whose
-                        # stop head fires early under the boosted decode
-                        decode_into_pool(zi, (0.0,),
-                                         jax.random.fold_in(t_rng, 603),
-                                         label='inversion_pure',
-                                         pure_greedy=True)
-                        best, best_sim, best_exact = score()
-                    if not best_exact:
-                        # small greedy fan around the final states: argmax
-                        # ties at the CE optimum sit on basin boundaries
-                        fin = zi[-inversion_starts:]
-                        reps = max(256 // max(len(fin), 1), 1)
-                        fan = perturb(jnp.tile(fin, (reps, 1)),
-                                      jax.random.fold_in(t_rng, 601), 0.004)
-                        decode_into_pool(fan, (0.0,),
-                                         jax.random.fold_in(t_rng, 602),
-                                         label='inversion')
-                        best, best_sim, best_exact = score()
-                        if not best_exact:
-                            decode_into_pool(
-                                fan, (0.0,),
-                                jax.random.fold_in(t_rng, 604),
-                                label='inversion_pure', pure_greedy=True)
-                            best, best_sim, best_exact = score()
-
-            if not best_exact:
-                z = self._candidate_latents(target, cache, budget_per_target,
-                                            t_rng)
-                decode_into_pool(z, temperature_sweep, t_rng)
-            if guided and not best_exact:
-                anchors = self._anchor_latents(target, cache,
-                                               n=guided_starts)
-                # both slot conventions: corpus-alphabetical (matches the
-                # head's training order) and permutation-free sorted
-                zg = self.head_guided_latents(target, anchors)
-                decode_into_pool(zg, (0.0,),
-                                 jax.random.fold_in(t_rng, 999),
-                                 label='guided')
-                zg = self.head_guided_latents(target, anchors,
-                                              order_free=True)
-                decode_into_pool(zg, (0.0,),
-                                 jax.random.fold_in(t_rng, 998),
-                                 label='guided')
-            best, best_sim, best_exact = score()
-            if inverse_regression and not best_exact:
-                zi = self._inverse_regression_latents(
-                    target, pool_z, by_formula,
-                    jax.random.fold_in(t_rng, 500), best=best)
-                if zi is not None:
-                    decode_into_pool(zi, (0.0, 0.3),
-                                     jax.random.fold_in(t_rng, 501),
-                                     label='inverse_regression')
-                    best, best_sim, best_exact = score()
+            def best_centroid():
+                all_z = np.concatenate(pool_z)
+                return jnp.asarray(
+                    all_z[np.asarray(by_formula[best])].mean(axis=0))
 
             fine_n = min(max(budget_per_target // 2, 8), 8192)
-            for r in range(refine_rounds):
-                if best_exact or not best:
-                    break
-                all_z = np.concatenate(pool_z)
-                cen = jnp.asarray(
-                    all_z[np.asarray(by_formula[best])].mean(axis=0))
-                fine = perturb(jnp.tile(cen[None], (fine_n, 1)),
+
+            def run_pool():
+                z = self._candidate_latents(target, cache,
+                                            budget_per_target, t_rng)
+                decode_into_pool(z, temperature_sweep, t_rng)
+                return score()
+
+            def run_navigation_refine(r):
+                # perturbation-only zoom-in around the best candidate —
+                # stays inside the navigation information budget
+                fine = perturb(jnp.tile(best_centroid()[None], (fine_n, 1)),
                                jax.random.fold_in(t_rng, 100 + r),
                                0.01 * (r + 1))
                 decode_into_pool(fine, (0.0, 0.3),
                                  jax.random.fold_in(t_rng, 200 + r),
                                  label='refine')
+                return score()
+
+            def run_guided(anchors, suffix=0):
+                # both slot conventions: corpus-alphabetical (matches the
+                # head's training order) and permutation-free sorted
+                zg = self.head_guided_latents(target, anchors)
+                decode_into_pool(zg, (0.0,),
+                                 jax.random.fold_in(t_rng, 999 - suffix),
+                                 label='guided')
+                zg = self.head_guided_latents(target, anchors,
+                                              order_free=True)
+                decode_into_pool(zg, (0.0,),
+                                 jax.random.fold_in(t_rng, 979 - suffix),
+                                 label='guided')
+                return score()
+
+            def run_inverse_regression(r=0):
+                zi = self._inverse_regression_latents(
+                    target, pool_z, by_formula,
+                    jax.random.fold_in(t_rng, 500 + r), best=best)
+                if zi is not None:
+                    decode_into_pool(zi, (0.0, 0.3),
+                                     jax.random.fold_in(t_rng, 530 + r),
+                                     label='inverse_regression')
+                return score()
+
+            def run_inversion(z_seed, fold):
+                self.last_inversion_diag = None
+                zi = self._inversion_safe(target, z_seed,
+                                          steps=inversion_steps)
+                merge_inv_diag()
+                if zi is None:
+                    return score()
+                decode_into_pool(zi, (0.0,),
+                                 jax.random.fold_in(t_rng, fold),
+                                 label='inversion')
+                b, s, e = score()
+                if not e:
+                    # ungated argmax rollout: equals the TF-argmax
+                    # diagnostic by induction — catches targets whose
+                    # stop head fires early under the boosted decode
+                    decode_into_pool(zi, (0.0,),
+                                     jax.random.fold_in(t_rng, fold + 3),
+                                     label='inversion_pure',
+                                     pure_greedy=True)
+                    b, s, e = score()
+                if not e:
+                    # small greedy fan around the final states: argmax
+                    # ties at the CE optimum sit on basin boundaries
+                    fin = zi[-inversion_starts:]
+                    reps = max(256 // max(len(fin), 1), 1)
+                    fan = perturb(jnp.tile(fin, (reps, 1)),
+                                  jax.random.fold_in(t_rng, fold + 1), 0.004)
+                    decode_into_pool(fan, (0.0,),
+                                     jax.random.fold_in(t_rng, fold + 2),
+                                     label='inversion')
+                    b, s, e = score()
+                    if not e:
+                        decode_into_pool(
+                            fan, (0.0,),
+                            jax.random.fold_in(t_rng, fold + 4),
+                            label='inversion_pure', pure_greedy=True)
+                        b, s, e = score()
+                return b, s, e
+
+            if strategy_order == 'tiered':
+                # ---- tier 1: NAVIGATION (reference information parity) ----
+                best, best_sim, best_exact = run_pool()
+                for r in range(refine_rounds):
+                    if best_exact or not best:
+                        break
+                    best, best_sim, best_exact = run_navigation_refine(r)
+                tier_sim['navigation'] = best_sim
+                if best_exact:
+                    exact_tier = 'navigation'
+
+                # ---- tier 2: GUIDED (target-property supervision) ----
+                if not best_exact and (guided or inverse_regression):
+                    if guided:
+                        best, best_sim, best_exact = run_guided(
+                            self._anchor_latents(target, cache,
+                                                 n=guided_starts))
+                    if inverse_regression and not best_exact:
+                        best, best_sim, best_exact = run_inverse_regression()
+                    for r in range(refine_rounds):
+                        if best_exact or not best:
+                            break
+                        if guided:
+                            best, best_sim, best_exact = run_guided(
+                                perturb(jnp.tile(best_centroid()[None],
+                                                 (guided_starts, 1)),
+                                        jax.random.fold_in(t_rng, 300 + r),
+                                        0.01), suffix=2 * r + 2)
+                        if inverse_regression and not best_exact:
+                            best, best_sim, best_exact = \
+                                run_inverse_regression(r + 1)
+                    tier_sim['guided'] = best_sim
+                    if best_exact and exact_tier is None:
+                        exact_tier = 'guided'
+
+                # ---- tier 3: INVERSION (decoder invertibility) ----
+                if not best_exact and inversion:
+                    best, best_sim, best_exact = run_inversion(
+                        self._anchor_latents(target, cache,
+                                             n=inversion_starts), 600)
+                    for r in range(refine_rounds):
+                        if best_exact or not best:
+                            break
+                        best, best_sim, best_exact = run_inversion(
+                            perturb(jnp.tile(best_centroid()[None],
+                                             (inversion_starts, 1)),
+                                    jax.random.fold_in(t_rng, 700 + r),
+                                    0.02), 710 + 10 * r)
+                    tier_sim['inversion'] = best_sim
+                    if best_exact and exact_tier is None:
+                        exact_tier = 'inversion'
+            else:
+                # legacy speed ordering: inversion first (most likely to
+                # land an exact hit; an early success skips the pool)
                 if inversion:
-                    # inversion re-seeded from the best-match basin: corpus
-                    # anchors may sit too far from a valid basin, the best
-                    # match's latent centroid rarely does
-                    self.last_inversion_diag = None
-                    zv = self._inversion_safe(
-                        target, perturb(
-                            jnp.tile(cen[None], (inversion_starts, 1)),
-                            jax.random.fold_in(t_rng, 700 + r), 0.02),
-                        steps=inversion_steps)
-                    merge_inv_diag()
-                    if zv is not None:
-                        decode_into_pool(zv, (0.0,),
-                                         jax.random.fold_in(t_rng, 710 + r),
-                                         label='inversion')
-                if guided:
-                    # guided descent re-seeded from the current best basin
-                    zg = self.head_guided_latents(
-                        target, perturb(
-                            jnp.tile(cen[None], (guided_starts, 1)),
-                            jax.random.fold_in(t_rng, 300 + r), 0.01),
-                        order_free=True)
-                    decode_into_pool(zg, (0.0,),
-                                     jax.random.fold_in(t_rng, 400 + r),
-                                     label='guided')
-                if inverse_regression:
-                    # refit on the grown pool; query again at the target
-                    zi = self._inverse_regression_latents(
-                        target, pool_z, by_formula,
-                        jax.random.fold_in(t_rng, 510 + r), best=best)
-                    if zi is not None:
-                        decode_into_pool(zi, (0.0,),
-                                         jax.random.fold_in(t_rng, 520 + r),
-                                         label='inverse_regression')
-                best, best_sim, best_exact = score()
+                    best, best_sim, best_exact = run_inversion(
+                        self._anchor_latents(target, cache,
+                                             n=inversion_starts), 600)
+                if not best_exact:
+                    best, best_sim, best_exact = run_pool()
+                if guided and not best_exact:
+                    best, best_sim, best_exact = run_guided(
+                        self._anchor_latents(target, cache, n=guided_starts))
+                if inverse_regression and not best_exact:
+                    best, best_sim, best_exact = run_inverse_regression()
+                for r in range(refine_rounds):
+                    if best_exact or not best:
+                        break
+                    best, best_sim, best_exact = run_navigation_refine(r)
+                    if inversion and not best_exact:
+                        # inversion re-seeded from the best-match basin:
+                        # corpus anchors may sit too far from a valid basin,
+                        # the best match's latent centroid rarely does
+                        best, best_sim, best_exact = run_inversion(
+                            perturb(jnp.tile(best_centroid()[None],
+                                             (inversion_starts, 1)),
+                                    jax.random.fold_in(t_rng, 700 + r),
+                                    0.02), 710 + 10 * r)
+                    if guided and not best_exact:
+                        best, best_sim, best_exact = run_guided(
+                            perturb(jnp.tile(best_centroid()[None],
+                                             (guided_starts, 1)),
+                                    jax.random.fold_in(t_rng, 300 + r),
+                                    0.01), suffix=2 * r + 2)
+                    if inverse_regression and not best_exact:
+                        best, best_sim, best_exact = \
+                            run_inverse_regression(r + 1)
+                if best_exact:
+                    exact_tier = {
+                        'pool': 'navigation', 'refine': 'mixed',
+                        'guided': 'guided', 'inverse_regression': 'guided',
+                        'inversion': 'inversion',
+                        'inversion_pure': 'inversion',
+                    }.get(first_label.get(best) or '', 'mixed')
 
             oracle_f = oracle_m = None
             if oracle_diagnostic:
@@ -978,10 +1078,11 @@ class HoldoutSearch:
                 consistent=consistent, consistency=cons_info,
                 oracle_formula=oracle_f, oracle_match=oracle_m,
                 found_by=first_label.get(best),
+                exact_tier=exact_tier, tier_sim=tier_sim or None,
                 inversion_diag=inv_diag))
             log_fn(f'[{target_offset + t_i + 1}] {target}: '
                    f'best={best!r} sim={best_sim:.3f} '
-                   f'{"EXACT[" + str(first_label.get(best)) + "]" if best_exact else ""}'
+                   f'{"EXACT[" + str(exact_tier) + "/" + str(first_label.get(best)) + "]" if best_exact else ""}'
                    f'{"" if consistent else " INCONSISTENT"}'
                    f'{" oracle=Y" if oracle_m else ""}')
             if stream_fn is not None:
@@ -993,9 +1094,20 @@ class HoldoutSearch:
     @staticmethod
     def summarize(results: List[HoldoutResult]) -> Dict[str, float]:
         n = len(results)
+        nav = sum(r.exact_tier == 'navigation' for r in results)
+        gui = sum(r.exact_tier == 'guided' for r in results)
+        inv = sum(r.exact_tier == 'inversion' for r in results)
         return {
             'n_targets': n,
             'exact': sum(r.exact for r in results),
+            # information-budget stratification (see HoldoutResult.exact_tier)
+            # — 'exact_navigation' is the number comparable to the
+            # reference's 12/45 protocol; the *_cum rows are cumulative
+            'exact_navigation': nav,
+            'exact_guided_cum': nav + gui,
+            'exact_inversion_cum': nav + gui + inv,
+            'exact_tier_unattributed': sum(
+                r.exact and r.exact_tier in (None, 'mixed') for r in results),
             'sim_ge_99': sum(r.best_similarity >= 0.99 for r in results),
             'sim_ge_95': sum(r.best_similarity >= 0.95 for r in results),
             'mean_similarity': float(np.mean([r.best_similarity

@@ -74,8 +74,10 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array
 #
 # A column→row pair needs exactly one all-reduce per pair and keeps the
 # sharded activations on-device between them.  Anything unmatched (LayerNorm,
-# small heads, odd dims) stays replicated — GSPMD numerics are layout-
-# invariant, so TP output is bit-comparable to the replicated run.
+# small heads, odd dims) stays replicated — TP output is numerically
+# equivalent to the replicated run up to floating-point reduction order
+# (sharded matmuls/psums reorder the sums, hence the dryrun's rtol/atol=2e-4
+# rather than exact equality).
 # ---------------------------------------------------------------------------
 
 _TP_COL = re.compile(r'(self|cross)_[qkv]$|^ff1$|^out_d1$')
@@ -89,7 +91,11 @@ def _tp_spec(path, leaf, n_model: int) -> P:
     names = [getattr(k, 'key', getattr(k, 'name', '')) for k in path]
     leafname = names[-1] if names else ''
     module = names[-2] if len(names) >= 2 else ''
+    # vocab-shard ONLY the decoder's token embedding table; other Embed
+    # tables (e.g. the encoder's 119-row element_embed) are small and their
+    # row counts are not tied to a shardable vocab dim
     if (leafname == 'embedding' and leaf.ndim == 2
+            and 'token_embedding' in names
             and leaf.shape[0] % n_model == 0):
         return P('model', None)
     col = _TP_COL.search(str(module))

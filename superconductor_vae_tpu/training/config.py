@@ -39,6 +39,13 @@ class TrainConfig:
     # NaN/Inf sanitizer (jax_debug_nans) on the train step (SURVEY 5.2);
     # disables the whole-epoch scan path — debugging only
     debug_numerics: bool = False
+    # data pipeline options forwarded to load_dataset:
+    # order_augment=K appends up to K random element-order respellings per
+    # multi-element row (reference: data/canonical_ordering.py:228-295);
+    # skew_transform 'quantile' (persisted grids, fresh-formula-invertible)
+    # or 'rank_gauss' (legacy round-2 normalization)
+    order_augment: int = 0
+    skew_transform: str = 'quantile'
     # model compute dtype ('float32' | 'bfloat16'). bf16 keeps params fp32
     # (flax param_dtype) and runs matmuls on the MXU at 2x; losses are
     # computed in fp32 regardless (outputs cast at the loss boundary)
@@ -74,6 +81,12 @@ class TrainConfig:
     rl_epoch_interval: int = 1          # run RL rollouts every k-th epoch
                                         # once active (duty cycle; 1 = every
                                         # epoch as the reference)
+    # RL epochs scan k-step BLOCKS per dispatch (middle ground between the
+    # whole-epoch scan — whose RL program crashed the remote TPU worker at
+    # compile time in round 2 — and per-step dispatch at ~357 samples/s
+    # where host RTT dominates). 0 = per-step dispatch. On the first chunk
+    # failing to compile, the loop falls back to per-step for the session.
+    rl_chunk_steps: int = 8
     rl_temperature_start: float = 1.2
     rl_temperature_end: float = 0.5
     rl_temperature_decay_epochs: int = 50

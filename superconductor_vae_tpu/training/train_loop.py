@@ -75,7 +75,10 @@ def train(
     elif csv_path:
         ds = load_dataset(csv_path, max_len=tcfg.max_formula_len,
                           tokenizer=tokenizer, limit=limit,
-                          cache_dir=out_dir / 'data_cache')
+                          cache_dir=out_dir / 'data_cache',
+                          skew_transform=tcfg.skew_transform,
+                          order_augment=tcfg.order_augment,
+                          order_augment_seed=tcfg.seed)
     else:
         ds = synthetic_dataset(n=limit or 512, max_len=tcfg.max_formula_len)
 
@@ -346,12 +349,43 @@ def train(
         # standalone — the un-scanned RL step compiles and runs fine at
         # ~330 samples/s, where per-step RTT is ~1% of step time).
         if device_resident and rl_w > 0:
-            step_fn = get_step(rl_enabled=True)
             sums = {}
             n_batches = 0
             n_samples = 0
-            for batch_idx in sampler.epoch(epoch):
-                idx_dev = jnp.asarray(batch_idx.astype(np.int32))
+            idx_all = np.stack(list(sampler.epoch(epoch))).astype(np.int32)
+            k_chunk = getattr(tcfg, 'rl_chunk_steps', 0)
+            pos = 0
+            if k_chunk > 1 and len(idx_all) >= k_chunk:
+                # chunked scan: one dispatch per k-step block — the program
+                # is ONE traced RL step scanned k times (same compiled size
+                # as the k=1 program), so per-step host RTT amortizes ~k x
+                # without the whole-epoch-scan compile that killed the
+                # remote worker in round 2 (train_loop history)
+                try:
+                    runner = get_epoch_runner(True)
+                    n_full = (len(idx_all) // k_chunk) * k_chunk
+                    while pos < n_full:
+                        chunk = idx_all[pos:pos + k_chunk]
+                        step_rng, sub = jax.random.split(step_rng)
+                        state, s = runner(state, data_dev, chunk, sub, dyn)
+                        for k, v in s.items():
+                            sums[k] = sums[k] + v if k in sums else v
+                        n_batches += len(chunk)
+                        n_samples += int(chunk.size)
+                        pos += k_chunk
+                except Exception as e:  # noqa: BLE001 — worker-side compile
+                    if pos > 0:
+                        raise  # mid-epoch state is poisoned; let resilient
+                               # wrapper restart from checkpoint
+                    log_fn(f'[rl] chunked scan failed to compile '
+                           f'({type(e).__name__}: {e}); falling back to '
+                           f'per-step dispatch for this session')
+                    tcfg.rl_chunk_steps = 0
+            step_fn = None
+            for batch_idx in idx_all[pos:]:
+                if step_fn is None:
+                    step_fn = get_step(rl_enabled=True)
+                idx_dev = jnp.asarray(batch_idx)
                 batch = {k: jnp.take(v, idx_dev, axis=0)
                          for k, v in data_dev.items()}
                 step_rng, sub = jax.random.split(step_rng)

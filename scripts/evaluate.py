@@ -31,6 +31,16 @@ def main():
     p.add_argument('--errors-out', default=None,
                    help='write per-sample error records JSONL here')
     p.add_argument('--out', default=None, help='write summary JSON here')
+    p.add_argument('--speculative', action='store_true',
+                   help='decode with the n-gram-draft speculative verifier '
+                        '(pure greedy, no decode gates) instead of the '
+                        'gated KV-cache scan — the end-to-end A/B for '
+                        'docs/RESULTS.md')
+    p.add_argument('--pallas-decode', action='store_true',
+                   help='run the AR decode with the fused Pallas '
+                        'cache-update+attention kernel inside the scan '
+                        '(ModelConfig.pallas_decode) — end-to-end A/B vs '
+                        'the XLA path')
     args = p.parse_args()
 
     if args.cpu:
@@ -65,17 +75,41 @@ def main():
         setattr(tcfg, k, v)
     luts = build_luts(tokenizer)
 
+    if args.pallas_decode:
+        import dataclasses
+        mcfg = dataclasses.replace(mcfg, pallas_decode=True)
     encoder = MaterialsEncoder(mcfg)
     decoder = FormulaDecoder(mcfg)
+
+    spec_tables = None
+    if args.speculative:
+        import jax.numpy as jnp
+        from superconductor_vae_tpu.models.draft import build_ngram_draft
+        from superconductor_vae_tpu.tokenizer import BOS_ID
+        stream = np.concatenate(
+            [np.full((len(ds), 1), BOS_ID, np.int64),
+             ds.tokens.astype(np.int64)[:, 1:]], axis=1)
+        d = build_ngram_draft(stream, tokenizer)
+        spec_tables = {'bigram': jnp.asarray(d['bigram']),
+                       'trigram': jnp.asarray(d['trigram'])}
+
+    import time
+    t0 = time.perf_counter()
     out = evaluate_autoregressive(
         encoder, decoder, restored['enc_params'], restored['dec_params'],
         ds, tcfg, luts, tokenizer=tokenizer, batch_size=args.batch_size,
         max_batches=args.max_batches,
-        collect_errors=args.errors_out is not None)
+        collect_errors=args.errors_out is not None,
+        speculative_tables=spec_tables)
+    wall_s = time.perf_counter() - t0
 
     summary = {
         'checkpoint': str(args.checkpoint),
         'epoch': meta.get('epoch'),
+        'decode_path': ('speculative' if args.speculative
+                        else 'pallas' if args.pallas_decode else 'xla'),
+        'eval_wall_s': round(wall_s, 2),
+        'formulas_per_s': round(out['n_evaluated'] / max(wall_s, 1e-9), 1),
         'n_evaluated': int(out['n_evaluated']),
         'true_ar_exact': float(out['ar_exact']),
         'tf_exact': float(out['tf_exact']),

@@ -1,9 +1,12 @@
 #!/usr/bin/env python3
-"""Sharded holdout-search campaign driver.
+"""One-command, resumable holdout-campaign driver.
 
 Runs scripts/holdout_search.py over the 45 holdout targets in sequential
-per-window subprocesses and merges the shard JSONs. Two reasons this is a
-wrapper instead of one process (reference runs everything in one process,
+per-window subprocesses, streams every finished target (with ``found_by``
++ ``exact_tier`` + seed + budget provenance) to a JSONL, optionally
+re-runs the remaining misses at escalating budgets, and writes the final
+tier-stratified summary.  Two reasons the windows are subprocesses
+(the reference runs everything in one process,
 scripts/holdout/holdout_search_targeted.py:778):
 
 - the experimental axon PJRT client leaks host memory per dispatch
@@ -11,12 +14,16 @@ scripts/holdout/holdout_search_targeted.py:778):
   process OOMs this 125GB box; fresh subprocesses bound the leak, and
   ``--target-offset`` keeps per-target rngs identical to an unsharded run.
 - a shard crash (TPU worker restart) loses only its window; completed
-  shard JSONs are kept and skipped on re-run.
+  shard JSONs are kept and skipped on re-run, and the stream keeps every
+  finished target even if its window dies mid-way.
 
-Usage:
-    python scripts/holdout_campaign.py --checkpoint outputs/run2/checkpoints/interrupt \
-        --csv data/processed/jarvis_merged.csv.gz --budget 30000 \
-        --window 5 --out results/run2/holdout_v2.json
+One command regenerates a summary from scratch:
+    python scripts/holdout_campaign.py \
+        --checkpoint results/run4/ckpt_snapshot \
+        --csv data/processed/jarvis_merged.csv.gz --budget 8192 \
+        --escalate 12000 16000 --window 5 \
+        --stream results/run5/holdout_stream.jsonl \
+        --out results/run5/holdout_summary.json
 """
 
 import argparse
@@ -51,62 +58,106 @@ def main():
                         'rotated so higher-value targets can run before a '
                         'possible crash/timeout eats the tail (shard outputs '
                         'are cached, so order does not affect results)')
+    p.add_argument('--stream', default=None,
+                   help='JSONL receiving every finished target as it lands '
+                        '(passed through to holdout_search.py --stream); '
+                        'default: <out stem>_stream.jsonl')
+    p.add_argument('--escalate', type=int, nargs='*', default=[],
+                   help='after the base pass, re-run remaining misses '
+                        'per-target at these budgets in order (the round-2 '
+                        'autoloop, folded in; the stream dedup keeps the '
+                        'best record per target)')
+    p.add_argument('--escalate-timeout', type=int, default=2400,
+                   help='per-target wall cap for escalation reruns')
     p.add_argument('--out', required=True)
     args = p.parse_args()
 
     out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
     shard_dir = out.parent / (out.stem + '_shards')
     shard_dir.mkdir(parents=True, exist_ok=True)
+    stream = Path(args.stream) if args.stream \
+        else out.parent / (out.stem + '_stream.jsonl')
     script = Path(__file__).resolve().parent / 'holdout_search.py'
 
-    merged = []
+    def base_cmd(budget, seed):
+        cmd = [sys.executable, '-u', str(script),
+               '--checkpoint', args.checkpoint, '--csv', args.csv,
+               '--budget', str(budget),
+               '--refine-rounds', str(args.refine_rounds),
+               '--guided-starts', str(args.guided_starts),
+               '--sample-slice', str(args.sample_slice),
+               '--sample-draws', str(args.sample_draws),
+               '--decode-chunk', str(args.decode_chunk),
+               '--seed', str(seed),
+               '--strategy-order', args.strategy_order,
+               '--stream', str(stream)]
+        if args.constrain_elements:
+            cmd.append('--constrain-elements')
+        return cmd
+
     starts = list(range(0, N_HOLDOUT, args.window))
     pivot = next((i for i, s in enumerate(starts)
                   if s >= args.first_window), 0)
     run_order = starts[pivot:] + starts[:pivot]
-    shard_results = {}
     for lo in run_order:
         n = min(args.window, N_HOLDOUT - lo)
         shard_out = shard_dir / f'shard_{lo:02d}.json'
         if shard_out.exists():
             print(f'[campaign] shard {lo}..{lo+n-1}: cached', flush=True)
-        else:
-            cmd = [sys.executable, '-u', str(script),
-                   '--checkpoint', args.checkpoint, '--csv', args.csv,
-                   '--budget', str(args.budget),
-                   '--target-offset', str(lo), '--n-targets', str(n),
-                   '--refine-rounds', str(args.refine_rounds),
-                   '--guided-starts', str(args.guided_starts),
-                   '--sample-slice', str(args.sample_slice),
-                   '--sample-draws', str(args.sample_draws),
-                   '--decode-chunk', str(args.decode_chunk),
-                   '--seed', str(args.seed),
-                   '--strategy-order', args.strategy_order,
-                   '--out', str(shard_out)]
-            if args.constrain_elements:
-                cmd.append('--constrain-elements')
-            print(f'[campaign] shard {lo}..{lo+n-1}: running', flush=True)
-            try:
-                rc = subprocess.run(cmd, timeout=args.shard_timeout).returncode
-            except subprocess.TimeoutExpired:
-                rc = -1
-            if rc != 0 or not shard_out.exists():
-                print(f'[campaign] shard {lo} FAILED rc={rc}', flush=True)
-                continue
-        shard_results[lo] = json.loads(shard_out.read_text())['results']
-    for lo in starts:  # merge in target order regardless of run order
-        merged.extend(shard_results.get(lo, []))
+            continue
+        cmd = base_cmd(args.budget, args.seed) + [
+            '--target-offset', str(lo), '--n-targets', str(n),
+            '--out', str(shard_out)]
+        print(f'[campaign] shard {lo}..{lo+n-1}: running', flush=True)
+        try:
+            rc = subprocess.run(cmd, timeout=args.shard_timeout).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc != 0 or not shard_out.exists():
+            print(f'[campaign] shard {lo} FAILED rc={rc} '
+                  f'(finished targets live in the stream)', flush=True)
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-    from superconductor_vae_tpu.generation.holdout_search import (
-        HoldoutResult, HoldoutSearch,
-    )
-    results = [HoldoutResult(**r) for r in merged]
-    summary = HoldoutSearch.summarize(results)
-    summary['n_missing'] = N_HOLDOUT - len(results)
-    print(json.dumps(summary, indent=2))
-    out.write_text(json.dumps(
-        {'summary': summary, 'results': merged}, indent=2))
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from holdout_summarize import summarize  # noqa: E402
+
+    def stream_rows():
+        if not stream.exists():
+            return []
+        return [json.loads(x) for x in stream.read_text().splitlines() if x]
+
+    # escalation passes: re-attack the remaining misses per-target with a
+    # bigger budget and a fresh seed; the stream dedup (best record per
+    # index) means a rerun can only improve the summary
+    for round_i, budget in enumerate(args.escalate):
+        rows = summarize(stream_rows())['per_target']
+        misses = [r for r in rows if not r.get('exact')]
+        misses.sort(key=lambda r: -float(r.get('best_similarity', 0.0)))
+        if not misses:
+            break
+        print(f'[campaign] escalation budget={budget}: '
+              f'{len(misses)} misses', flush=True)
+        for r in misses:
+            idx = int(r['index'])
+            cmd = base_cmd(budget, args.seed + round_i + 1) + [
+                '--target-offset', str(idx), '--n-targets', '1',
+                '--out', str(shard_dir / f'rerun_{budget}_{idx:02d}.json')]
+            try:
+                subprocess.run(cmd, timeout=args.escalate_timeout)
+            except subprocess.TimeoutExpired:
+                print(f'[campaign] rerun [{idx}] timed out', flush=True)
+
+    summary = summarize(stream_rows())
+    summary = {
+        'checkpoint': args.checkpoint, 'budget': args.budget,
+        'escalate': args.escalate, 'seed': args.seed,
+        'strategy_order': args.strategy_order,
+        'n_missing': N_HOLDOUT - summary['targets_completed'],
+        **summary,
+    }
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k != 'per_target'}, indent=2))
+    out.write_text(json.dumps(summary, indent=2))
 
 
 if __name__ == '__main__':

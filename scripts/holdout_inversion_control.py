@@ -126,6 +126,10 @@ def main():
     p.add_argument('--inversion-starts', type=int, default=24)
     p.add_argument('--inversion-steps', type=int, default=384)
     p.add_argument('--refine-rounds', type=int, default=1)
+    p.add_argument('--decode-chunk', type=int, default=256,
+                   help='small fixed decode batch: control pools are tiny, '
+                        'so padding to the campaign 2048-chunk wastes 8-30x '
+                        'decode compute per dispatch')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cpu', action='store_true')
     p.add_argument('--out', default='outputs/inversion_control.json')
@@ -192,6 +196,7 @@ def main():
         inverse_regression=False, inversion=True,
         inversion_starts=args.inversion_starts,
         inversion_steps=args.inversion_steps,
+        decode_chunk=args.decode_chunk,
         oracle_diagnostic=False, check_consistency=True,
         strategy_order='inversion_first')
 

@@ -107,7 +107,9 @@ def main():
         def stream_fn(idx, result):
             with stream_path.open('a') as fh:
                 fh.write(json.dumps(
-                    {'index': idx, **dataclasses.asdict(result)}) + '\n')
+                    {'index': idx, 'seed': args.seed, 'budget': args.budget,
+                     'strategy_order': args.strategy_order,
+                     **dataclasses.asdict(result)}) + '\n')
 
     results = search.search(budget_per_target=args.budget, targets=targets,
                             target_offset=lo, stream_fn=stream_fn,

@@ -1,0 +1,27 @@
+#!/bin/sh
+# Run5: fine-tune of run4@899 on the round-3 corpus + pipeline:
+#   - jarvis_merged_v2.csv.gz: 47,494 rows at EXACTLY 50/50 SC balance
+#     (19,781 JARVIS-DFT negatives added; reference trains ~50/50,
+#     train_v12_clean.py:934-941) — closes the round-2 negatives gap
+#   - quantile-grid skew transform (invertible for fresh formulas; the
+#     oracle holdout-reconstruction fix, VERDICT round 2 #2)
+#   - order augmentation K=2 (canonical_ordering.OrderAugmentation wired
+#     into training; weight-split keeps the composition distribution)
+#   - RL chunked epoch scan active (rl_chunk_steps=8 default)
+#
+# Seeding: copy results/run4/ckpt_snapshot to
+# outputs/run5/checkpoints/epoch_00899 first (scripts/seed_run5.sh below)
+# so `--resume auto` picks it up. Inputs shift under the new
+# normalization/corpus, so expect an initial exact dip that the fine-tune
+# recovers.
+exec python -u scripts/train_resilient.py --stall-timeout 1800 -- \
+  --csv data/processed/jarvis_merged_v2.csv.gz --epochs 1100 \
+  --batch-size 128 --bf16 --lr 1e-4 --checkpoint-interval 25 \
+  --output outputs/run5 --resume auto \
+  --set lr_warmup_epochs=0 --set rl_epoch_interval=3 \
+  --set phase2_enabled=true --set phase2_interval=16 \
+  --set eval_interval=8 --set order_augment=1 \
+  --set skew_transform=quantile
+# order_augment=1 (not 2): one extra spelling per row already doubles the
+# epoch draw count (WeightedEpochSampler draws len(dataset) samples per
+# epoch); K=2 would triple wall-clock per epoch for diminishing coverage

@@ -50,6 +50,16 @@ class ModelConfig:
 
     dropout: float = 0.1
 
+    # Decode-time attention backend for the AR generation scan: when True,
+    # DecoderLayer.step runs the fused Pallas cache-update+attention kernel
+    # (ops/pallas_decode.py) and the KV cache lives in the kernel's
+    # [B, H, T, Dh] layout; when False (default), the XLA
+    # dynamic_update_slice + masked-softmax path.  Parameter-free toggle:
+    # the same checkpoint params evaluate under either backend
+    # (dataclasses.replace(mcfg, pallas_decode=True)).  Speculative
+    # decode_chunk requires the XLA layout.
+    pallas_decode: bool = False
+
     @property
     def head_dim(self) -> int:
         return self.d_model // self.nhead

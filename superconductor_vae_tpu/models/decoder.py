@@ -151,12 +151,24 @@ class DecoderLayer(nn.Module):
         xn = self.norm1(x)
         q = self._split(self.self_q(xn))                      # [B,1,H,Dh]
         k_new, v_new = self.self_kv(xn)                       # [B,1,H,Dh]
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_new, position, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_new, position, axis=1)
-        # attend over positions <= current (mask out unwritten cache slots)
-        pos_ids = jnp.arange(valid_len)[None, None, None, :]  # [1,1,1,T]
-        mask = pos_ids <= position
-        sa = mha_attention(q, k_cache, v_cache, mask).reshape(b, 1, d)
+        if self.cfg.pallas_decode:
+            # fused cache-update + masked attention kernel; cache layout is
+            # the kernel's [B, H, T, Dh] (init_cache allocates it that way
+            # under the flag) so no per-step transposes of the cache
+            from ..ops.pallas_decode import decode_step_attention
+            sa, k_cache, v_cache = decode_step_attention(
+                q[:, 0], k_new[:, 0], v_new[:, 0], k_cache, v_cache,
+                position, interpret=jax.default_backend() == 'cpu')
+            sa = sa.reshape(b, 1, d)
+        else:
+            k_cache = jax.lax.dynamic_update_slice_in_dim(
+                k_cache, k_new, position, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(
+                v_cache, v_new, position, axis=1)
+            # attend over positions <= current (mask unwritten cache slots)
+            pos_ids = jnp.arange(valid_len)[None, None, None, :]  # [1,1,1,T]
+            mask = pos_ids <= position
+            sa = mha_attention(q, k_cache, v_cache, mask).reshape(b, 1, d)
         x = x + self.self_o(sa)
         xn = self.norm2(x)
         qc = self._split(self.cross_q(xn))
@@ -431,7 +443,12 @@ class FormulaDecoder(nn.Module):
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """`extra` adds slack rows for chunked decode writes at the tail."""
         cfg = self.cfg
-        shape = (cfg.num_layers, batch_size, cfg.max_len + extra,
-                 cfg.nhead, cfg.head_dim)
+        if cfg.pallas_decode:
+            assert extra == 0, 'speculative decode_chunk needs the XLA layout'
+            shape = (cfg.num_layers, batch_size, cfg.nhead,
+                     cfg.max_len, cfg.head_dim)
+        else:
+            shape = (cfg.num_layers, batch_size, cfg.max_len + extra,
+                     cfg.nhead, cfg.head_dim)
         return (jnp.zeros(shape, dtype=self.dtype),
                 jnp.zeros(shape, dtype=self.dtype))

@@ -96,7 +96,8 @@ def decode_step_attention(
     b, h, dh = q.shape
     t = k_cache.shape[2]
     block_b = min(block_b, b)
-    assert b % block_b == 0, (b, block_b)
+    while b % block_b:       # largest divisor of b that fits the budget
+        block_b -= 1
     pos_arr = jnp.asarray(position, jnp.int32).reshape(1)
 
     # rank-extend OUTSIDE the kernel (free in XLA; unsupported in Mosaic)

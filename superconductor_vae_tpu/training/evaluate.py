@@ -49,11 +49,19 @@ def evaluate_autoregressive(
     max_batches: Optional[int] = None,
     collect_errors: bool = False,
     sample_indices: Optional[np.ndarray] = None,
+    speculative_tables: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Dict[str, object]:
     """``sample_indices``: explicit dataset rows to evaluate (the train loop
     passes a rotating random subsample so mastery/curriculum feedback covers
     the whole corpus, not a fixed prefix).  ``sample_indices`` in the result
-    is always the TRUE dataset indices of the evaluated rows."""
+    is always the TRUE dataset indices of the evaluated rows.
+
+    ``speculative_tables``: n-gram draft tables (models/draft.py
+    build_ngram_draft) switch the AR decode to speculative chunk
+    verification (generation/speculative.py).  NOTE the speculative path is
+    pure greedy — no stop boost / hard stop / type masking — so its exact
+    match can differ at the margin from the gated scan; the A/B numbers
+    are recorded in docs/RESULTS.md (scripts/evaluate.py --speculative)."""
     gcfg = GenerationConfig(
         max_len=decoder.cfg.max_len, temperature=0.0,
         stop_boost=tcfg.stop_boost,
@@ -72,9 +80,15 @@ def evaluate_autoregressive(
         heads_vec = encoder.apply(
             enc_params, enc_out, method=MaterialsEncoder.heads_pred_for_decoder)
         stoich = stoich_conditioning(batch)
-        gen = generate_with_kv_cache(
-            decoder, dec_params, enc_out['z'], stoich, heads_vec,
-            jax.random.PRNGKey(0), gcfg, type_masks=type_masks)
+        if speculative_tables is not None:
+            from ..generation.speculative import speculative_generate
+            gen = speculative_generate(
+                decoder, dec_params, enc_out['z'], stoich, heads_vec,
+                speculative_tables, k=4)
+        else:
+            gen = generate_with_kv_cache(
+                decoder, dec_params, enc_out['z'], stoich, heads_vec,
+                jax.random.PRNGKey(0), gcfg, type_masks=type_masks)
         # TF path for TF-exact comparison
         dec_out = decoder.apply(dec_params, enc_out['z'], batch['tokens'],
                                 stoich, heads_vec)

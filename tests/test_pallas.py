@@ -73,3 +73,37 @@ def test_decode_step_attention_interpret():
                                    atol=1e-5, err_msg=f'pos={pos}')
         np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=1e-6)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+
+def test_generation_scan_pallas_path_matches_xla():
+    """The in-scan Pallas decode path (ModelConfig.pallas_decode=True,
+    kernel-layout KV cache) must produce token-identical greedy rollouts
+    to the default XLA path from the same params."""
+    import dataclasses
+
+    from superconductor_vae_tpu.generation import (
+        GenerationConfig, generate_with_kv_cache,
+    )
+    from superconductor_vae_tpu.models import FormulaDecoder
+    from superconductor_vae_tpu.models.config import tiny_test_config
+
+    mcfg = tiny_test_config()
+    dec_xla = FormulaDecoder(mcfg)
+    dec_pal = FormulaDecoder(dataclasses.replace(mcfg, pallas_decode=True))
+
+    rng = jax.random.PRNGKey(0)
+    b = 8
+    z = jax.random.normal(rng, (b, mcfg.latent_dim))
+    stoich = jax.random.normal(jax.random.fold_in(rng, 1),
+                               (b, mcfg.stoich_input_dim))
+    hv = jax.random.normal(jax.random.fold_in(rng, 2),
+                           (b, mcfg.heads_input_dim))
+    params = dec_xla.init(rng, z, jnp.zeros((b, mcfg.max_len), jnp.int32),
+                          stoich, hv)
+    gcfg = GenerationConfig(max_len=mcfg.max_len, temperature=0.0,
+                            stop_boost=10.0, hard_stop_threshold=0.8)
+    out_x = generate_with_kv_cache(dec_xla, params, z, stoich, hv,
+                                   jax.random.PRNGKey(3), gcfg)['tokens']
+    out_p = generate_with_kv_cache(dec_pal, params, z, stoich, hv,
+                                   jax.random.PRNGKey(3), gcfg)['tokens']
+    np.testing.assert_array_equal(np.asarray(out_x), np.asarray(out_p))

@@ -115,6 +115,7 @@ def main():
         'tf_exact': float(out['tf_exact']),
         'tc_mae_kelvin': float(out['tc_mae_kelvin']),
         'tc_r2_per_bin': out['tc_r2_per_bin'],
+        'sc_metrics': out.get('sc_metrics', {}),
         'family_coarse_acc': float(out['family_coarse_acc']),
         'z_norm_mean': float(out['z_norm_mean']),
     }

@@ -50,6 +50,12 @@ def main():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--strategy-order', default='tiered',
                    choices=['tiered', 'inversion_first'])
+    p.add_argument('--no-guided', action='store_true',
+                   help='skip the guided tier (passthrough to '
+                        'holdout_search.py): tier table then reads '
+                        'navigation -> inversion')
+    p.add_argument('--no-inverse', action='store_true')
+    p.add_argument('--inversion-steps', type=int, default=384)
     p.add_argument('--constrain-elements', action='store_true')
     p.add_argument('--shard-timeout', type=int, default=3600,
                    help='seconds per window subprocess')
@@ -91,7 +97,12 @@ def main():
                '--decode-chunk', str(args.decode_chunk),
                '--seed', str(seed),
                '--strategy-order', args.strategy_order,
+               '--inversion-steps', str(args.inversion_steps),
                '--stream', str(stream)]
+        if args.no_guided:
+            cmd.append('--no-guided')
+        if args.no_inverse:
+            cmd.append('--no-inverse')
         if args.constrain_elements:
             cmd.append('--constrain-elements')
         return cmd

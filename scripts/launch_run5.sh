@@ -21,7 +21,7 @@ exec python -u scripts/train_resilient.py --stall-timeout 1800 -- \
   --set lr_warmup_epochs=0 --set rl_epoch_interval=3 \
   --set phase2_enabled=true --set phase2_interval=16 \
   --set eval_interval=8 --set order_augment=1 \
-  --set skew_transform=quantile
+  --set skew_transform=quantile --set resume_grace_epochs=30
 # order_augment=1 (not 2): one extra spelling per row already doubles the
 # epoch draw count (WeightedEpochSampler draws len(dataset) samples per
 # epoch); K=2 would triple wall-clock per epoch for diminishing coverage

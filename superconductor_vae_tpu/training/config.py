@@ -46,6 +46,12 @@ class TrainConfig:
     # or 'rank_gauss' (legacy round-2 normalization)
     order_augment: int = 0
     skew_transform: str = 'quantile'
+    # grace window after a resume before the catastrophic-drop detector may
+    # fire (reference grants grace after fresh optimizers / new data,
+    # train_v12_clean.py:6630-6668): fine-tuning a checkpoint on a shifted
+    # corpus/normalization legitimately dips exact-match at first, and the
+    # detector would otherwise halve LR against its old prev_exact
+    resume_grace_epochs: int = 0
     # model compute dtype ('float32' | 'bfloat16'). bf16 keeps params fp32
     # (flax param_dtype) and runs matmuls on the MXU at 2x; losses are
     # computed in fp32 regardless (outputs cast at the loss boundary)

@@ -289,6 +289,14 @@ def train(
                 mastery.seen = np.asarray(m['seen'], bool)
                 mastery.peak = np.asarray(m['peak'])
             start_epoch = int(meta.get('epoch', -1)) + 1
+            if tcfg.resume_grace_epochs > 0:
+                drop_ctl.grace_until = max(
+                    drop_ctl.grace_until,
+                    start_epoch + tcfg.resume_grace_epochs)
+                drop_ctl.prev_exact = None
+                log_fn(f'[resume] drop-detector grace until epoch '
+                       f'{drop_ctl.grace_until} (corpus/normalization '
+                       f'shift expected)')
             log_fn(f'[resume] {path} -> epoch {start_epoch} '
                    f'(opt={"enc_opt" in restored} ctl={bool(ctl)})')
 

@@ -50,6 +50,15 @@ def main():
     p.add_argument('--sample-slice', type=int, default=4096,
                    help='leading pool rows decoded at sampled temperatures')
     p.add_argument('--sample-draws', type=int, default=2)
+    p.add_argument('--skew-transform', default=None,
+                   choices=['rank_gauss', 'quantile'],
+                   help='override the corpus Magpie skew transform '
+                        '(default: what the checkpoint trained under). '
+                        'quantile on a rank-gauss checkpoint isolates the '
+                        'invertible-normalization effect on oracle '
+                        'reconstruction: corpus rows shift only at tied '
+                        'blocks, while fresh formulas gain REAL skewed-'
+                        'column features instead of the column mean')
     p.add_argument('--oracle-only', action='store_true',
                    help='skip the generative search entirely: encode each '
                         'holdout composition directly (alphabetical slots, '
@@ -93,7 +102,8 @@ def main():
     mcfg = ModelConfig(**meta['model_config'])
     tokenizer = default_tokenizer(max_len=mcfg.max_len)
     ds = load_dataset(args.csv, max_len=mcfg.max_len, tokenizer=tokenizer,
-                      skew_transform=ckpt_skew_transform(meta))
+                      skew_transform=(args.skew_transform
+                                      or ckpt_skew_transform(meta)))
 
     encoder = MaterialsEncoder(mcfg)
     decoder = FormulaDecoder(mcfg)
@@ -140,7 +150,8 @@ def main():
                   f"{'MATCH' if rec['oracle_match'] else ''}", flush=True)
         summary = {'n_targets': len(rows),
                    'oracle_match': sum(r['oracle_match'] for r in rows),
-                   'skew_transform': ckpt_skew_transform(meta)}
+                   'skew_transform': (args.skew_transform
+                                      or ckpt_skew_transform(meta))}
         print(json.dumps(summary, indent=2))
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
         Path(args.out).write_text(json.dumps(

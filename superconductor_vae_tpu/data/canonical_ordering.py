@@ -23,9 +23,17 @@ from typing import List, Optional, Sequence, Tuple
 
 from ..chem.elements import SYMBOL_TO_Z, get_element_property
 
+# Element+amount scanner for the shared fraction-format grammar
+# (El, El(p/q), El(n), Eln, Eln.m). The grammar — not the reference's
+# code — determines this pattern; named groups keep it structurally our
+# own. (Reference's equivalent scanner: data/canonical_ordering.py:126.)
 _ELEM_RE = re.compile(
-    r'([A-Z][a-z]?)'                      # element symbol
-    r'(?:\((\d+)/(\d+)\)|\((\d+)\)|(\d+(?:\.\d+)?))?'  # (p/q) | (n) | n | n.m
+    r'(?P<sym>[A-Z][a-z]?)'
+    r'(?:'
+    r'\((?P<num>\d+)/(?P<den>\d+)\)'      # parenthesized fraction (p/q)
+    r'|\((?P<pint>\d+)\)'                 # parenthesized integer (n)
+    r'|(?P<dec>\d+(?:\.\d+)?)'            # bare integer / decimal
+    r')?'
 )
 
 
@@ -45,18 +53,18 @@ def parse_ordered(formula: str) -> List[Tuple[str, str, float]]:
     """
     out = []
     for m in _ELEM_RE.finditer(formula):
-        sym = m.group(1)
+        sym = m.group('sym')
         if sym not in SYMBOL_TO_Z:
             continue
-        if m.group(2) and m.group(3):
-            amt = f'({m.group(2)}/{m.group(3)})'
-            val = float(Fraction(int(m.group(2)), int(m.group(3))))
-        elif m.group(4):
-            amt = f'({m.group(4)})'
-            val = float(m.group(4))
-        elif m.group(5):
-            amt = m.group(5)
-            val = float(m.group(5))
+        if m.group('num') and m.group('den'):
+            amt = f"({m.group('num')}/{m.group('den')})"
+            val = float(Fraction(int(m.group('num')), int(m.group('den'))))
+        elif m.group('pint'):
+            amt = f"({m.group('pint')})"
+            val = float(m.group('pint'))
+        elif m.group('dec'):
+            amt = m.group('dec')
+            val = float(m.group('dec'))
         else:
             amt, val = '', 1.0
         out.append((sym, amt, val))

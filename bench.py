@@ -34,6 +34,10 @@ def main():
     p.add_argument('--steps', type=int, default=20)
     p.add_argument('--rl', action='store_true',
                    help='include SCST rollouts in the step')
+    p.add_argument('--rl-batch-size', type=int, default=512,
+                   help='batch for the RL epoch-throughput probe (its own '
+                        'feasible size: the SCST rollout pair needs more '
+                        'HBM headroom than the TF step)')
     p.add_argument('--gen', action='store_true',
                    help='benchmark batched KV-cache generation instead '
                         '(formulas/s; baseline = reference 57.6 forward '
@@ -242,19 +246,25 @@ def main():
     # loss time in REINFORCE, SURVEY §3.3).  Skipped in --rl mode, where
     # the primary number above already includes rollouts.
     rl_samples_per_s = None
+    rl_error = None
     if not args.rl and not args.quick:
         try:
             from superconductor_vae_tpu.training.train_step import (
                 make_epoch_runner,
             )
+            rl_batch = args.rl_batch_size
             tcfg_rl = dataclasses.replace(
-                tcfg, rl=dataclasses.replace(tcfg.rl, max_len=mcfg.max_len))
+                tcfg, batch_size=rl_batch,
+                rl=dataclasses.replace(tcfg.rl, max_len=mcfg.max_len))
             runner = make_epoch_runner(encoder, decoder, tcfg_rl, tx_enc,
                                        tx_dec, luts, rl_enabled=True)
             k_chunk = 8
+            ds_rl = (ds if rl_batch <= batch_size else
+                     synthetic_dataset(n=rl_batch, max_len=mcfg.max_len,
+                                       magpie_dim=mcfg.magpie_dim))
             data_dev = {k: jax.device_put(np.asarray(v)) for k, v in
-                        ds.batch(np.arange(batch_size)).items()}
-            idx = np.tile(np.arange(batch_size, dtype=np.int32),
+                        ds_rl.batch(np.arange(rl_batch)).items()}
+            idx = np.tile(np.arange(rl_batch, dtype=np.int32),
                           (k_chunk, 1))
             dyn_rl = default_dyn(tcfg_rl)
             dyn_rl['rl_w'] = jnp.asarray(1.0)
@@ -269,11 +279,12 @@ def main():
                                      dyn_rl)
             jax.block_until_ready(sums['total'])
             dt_rl = time.perf_counter() - t0
-            rl_samples_per_s = (n_rep * k_chunk * batch_size / dt_rl
+            rl_samples_per_s = (n_rep * k_chunk * rl_batch / dt_rl
                                 / n_chips)
         except Exception as e:  # noqa: BLE001 — RL probe must not sink the
-            print(f'# rl probe failed: {type(e).__name__}: {e}',
-                  file=sys.stderr)
+            # primary metric, but its failure must be loud in the artifact
+            rl_error = f'{type(e).__name__}: {e}'[:500]
+            print(f'# rl probe failed: {rl_error}', file=sys.stderr)
 
     out = {
         'metric': 'train_samples_per_s_per_chip_108M_multitask'
@@ -287,6 +298,9 @@ def main():
         out['rl_samples_per_s_per_chip'] = round(rl_samples_per_s, 2)
         out['rl_vs_baseline'] = round(
             rl_samples_per_s / BASELINE_SAMPLES_PER_S, 2)
+        out['rl_batch_size'] = args.rl_batch_size
+    if rl_error is not None:
+        out['rl_error'] = rl_error
     print(json.dumps(out))
 
 

@@ -24,6 +24,12 @@ def main():
     p.add_argument('--csv',
                    default='data/processed/jarvis_merged.csv.gz')
     p.add_argument('--limit', type=int, default=None)
+    p.add_argument('--sample', choices=['head', 'random', 'stratified'],
+                   default='stratified',
+                   help='how --limit selects rows: seeded random, '
+                        'is_sc-stratified 50/50 (default), or the legacy '
+                        'CSV head slice')
+    p.add_argument('--sample-seed', type=int, default=0)
     p.add_argument('--batch-size', type=int, default=256)
     p.add_argument('--max-batches', type=int, default=None,
                    help='default: the whole corpus')
@@ -65,9 +71,18 @@ def main():
     restored, meta = load_checkpoint(args.checkpoint)
     mcfg = ModelConfig(**meta['model_config'])
     tokenizer = default_tokenizer(max_len=mcfg.max_len)
+    head_limit = args.limit if args.sample == 'head' else None
     ds = load_dataset(args.csv, max_len=mcfg.max_len, tokenizer=tokenizer,
-                      limit=args.limit,
+                      limit=head_limit,
                       skew_transform=ckpt_skew_transform(meta))
+    slice_provenance = {'sample': 'full', 'seed': None}
+    if args.limit is not None and args.sample != 'head':
+        idx = ds.sample_indices(args.limit, seed=args.sample_seed,
+                                stratify_sc=(args.sample == 'stratified'))
+        ds = ds.subset(idx)
+        slice_provenance = {'sample': args.sample, 'seed': args.sample_seed}
+    elif args.limit is not None:
+        slice_provenance = {'sample': 'head', 'seed': None}
     tcfg = TrainConfig(max_formula_len=mcfg.max_len)
     # reproduce the training run's decode gating (stop boost, type masking,
     # ...) rather than silently using defaults
@@ -108,6 +123,7 @@ def main():
         'epoch': meta.get('epoch'),
         'decode_path': ('speculative' if args.speculative
                         else 'pallas' if args.pallas_decode else 'xla'),
+        'slice': dict(slice_provenance, limit=args.limit),
         'eval_wall_s': round(wall_s, 2),
         'formulas_per_s': round(out['n_evaluated'] / max(wall_s, 1e-9), 1),
         'n_evaluated': int(out['n_evaluated']),

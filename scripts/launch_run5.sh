@@ -5,8 +5,9 @@
 #     train_v12_clean.py:934-941) — closes the round-2 negatives gap
 #   - quantile-grid skew transform (invertible for fresh formulas; the
 #     oracle holdout-reconstruction fix, VERDICT round 2 #2)
-#   - order augmentation K=2 (canonical_ordering.OrderAugmentation wired
-#     into training; weight-split keeps the composition distribution)
+#   - order augmentation K=1 (canonical_ordering.OrderAugmentation wired
+#     into training; weight-split keeps the composition distribution; see
+#     the footnote below for why K=1 and not K=2)
 #   - RL chunked epoch scan active (rl_chunk_steps=8 default)
 #
 # Seeding: copy results/run4/ckpt_snapshot to

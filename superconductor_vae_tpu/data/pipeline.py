@@ -199,6 +199,48 @@ class DatasetArrays:
     def magpie_dim(self) -> int:
         return self.magpie.shape[1]
 
+    def subset(self, idx: np.ndarray) -> 'DatasetArrays':
+        """Row-subset view (copies): used for randomized / stratified eval
+        slices (a head slice of the corpus is NOT balance-representative;
+        VERDICT r3 weak #3)."""
+        idx = np.asarray(idx)
+        return dataclasses.replace(
+            self,
+            formulas=[self.formulas[i] for i in idx],
+            tokens=self.tokens[idx],
+            element_indices=self.element_indices[idx],
+            element_fractions=self.element_fractions[idx],
+            element_mask=self.element_mask[idx],
+            tc=self.tc[idx],
+            magpie=self.magpie[idx],
+            is_sc=self.is_sc[idx],
+            label=self.label[idx],
+            hp=self.hp[idx],
+            family=self.family[idx],
+            comp_targets=self.comp_targets[idx],
+            aug_group=(self.aug_group[idx]
+                       if self.aug_group is not None else None),
+        )
+
+    def sample_indices(self, n: int, seed: int = 0,
+                       stratify_sc: bool = False) -> np.ndarray:
+        """Seeded random (optionally is_sc-stratified 50/50) row sample."""
+        rng = np.random.default_rng(seed)
+        n = min(n, len(self))
+        if not stratify_sc:
+            return np.sort(rng.choice(len(self), size=n, replace=False))
+        pos = np.flatnonzero(self.is_sc == 1)
+        neg = np.flatnonzero(self.is_sc != 1)
+        n_pos = min(n // 2, len(pos))
+        n_neg = min(n - n_pos, len(neg))
+        # top up from the larger class if one side is short
+        if n_pos + n_neg < n:
+            n_pos = min(n - n_neg, len(pos))
+        take = np.concatenate([
+            rng.choice(pos, size=n_pos, replace=False),
+            rng.choice(neg, size=n_neg, replace=False)])
+        return np.sort(take)
+
     def batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         return {
             'tokens': self.tokens[idx],

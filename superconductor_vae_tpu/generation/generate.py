@@ -121,10 +121,17 @@ def generate_with_kv_cache(
     type_masks: Optional[jnp.ndarray] = None,   # [5, V] bool
     memory: Optional[jnp.ndarray] = None,
     temperature: Optional[jnp.ndarray] = None,  # traced override (no recompile)
+    greedy_mask: Optional[jnp.ndarray] = None,  # [B] bool: per-row argmax
 ) -> Dict[str, jnp.ndarray]:
     """Batched AR rollout. Returns tokens/log_probs/entropy/mask, each
     [B, max_len - 1] (token stream excludes the BOS input, as in the
-    reference)."""
+    reference).
+
+    ``greedy_mask`` selects argmax per ROW inside a sampling rollout (their
+    log_probs are 0, like a greedy rollout's): SCST fuses its greedy
+    baseline and its sampled rollout into ONE [2B] rollout — the decode
+    steps are latency-bound, so one double-batch scan costs far less than
+    two sequential scans."""
     from ..models.decoder import FormulaDecoder  # avoid cycle
 
     b = z.shape[0]
@@ -177,6 +184,12 @@ def generate_with_kv_cache(
             next_tok = jax.random.categorical(step_rng, t_logits).astype(jnp.int32)
             probs = jnp.clip(jax.nn.softmax(t_logits, axis=-1), 1e-8)
             log_prob = jnp.log(probs)[jnp.arange(b), next_tok]
+            if greedy_mask is not None:
+                next_tok = jnp.where(
+                    greedy_mask,
+                    jnp.argmax(safe_logits, axis=-1).astype(jnp.int32),
+                    next_tok)
+                log_prob = jnp.where(greedy_mask, 0.0, log_prob)
 
         # track seen element tokens (correct V13 element range)
         is_elem = ((next_tok >= ELEMENT_TOKEN_START)

@@ -14,6 +14,18 @@ Capability parity with the reference's RL stack
 - Rewards + constraint rewards are the vectorized kernels in ops/reward.py /
   ops/constraints.py — no host round-trips anywhere in the RL path (the
   reference's constraint rewards bounce through ``.cpu()``).
+
+TPU-first gradient path (round 4): the rollouts run with STOPPED-GRADIENT
+params — they only produce sampled tokens, masks, entropy and rewards — and
+the REINFORCE log-probs are recomputed by ONE parallel teacher-forced pass
+over the sampled tokens (``rescore_log_probs``).  The gradient is identical
+(same policy, same sampled actions; REINFORCE needs grad log pi at the
+sampled tokens, which does not care where the log-prob is evaluated), but
+the backward pass is now a TF-shaped parallel program the MXU tiles well,
+instead of reverse-mode through a 29-step sequential ``lax.scan`` with
+rematerialised decode steps.  The reference pays the same sequential-rollout
+backward cost (train_v12_clean.py:2642-2688 backprops sampling-loop
+log-probs); this is the TPU redesign of that hot path.
 """
 
 from __future__ import annotations
@@ -25,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..generation.generate import GenerationConfig, generate_with_kv_cache
+from ..tokenizer import BOS_ID, ELEMENT_TOKEN_START, EOS_ID, INTEGER_TOKEN_START
 from .constraints import ConstraintConfig, constraint_rewards
 from .reward import RewardConfig, compute_reward
 
@@ -75,9 +88,8 @@ def _total_reward(sampled, targets, mask, cfg: RLConfig, luts,
     return r
 
 
-def _rollout(decoder, variables, z, stoich, heads_vec, rng, cfg: RLConfig,
-             luts, greedy: bool, temperature=None):
-    gcfg = GenerationConfig(
+def _gen_cfg(cfg: RLConfig, greedy: bool) -> GenerationConfig:
+    return GenerationConfig(
         max_len=cfg.max_len,
         temperature=0.0 if greedy else cfg.temperature,
         stop_boost=cfg.stop_boost,
@@ -85,10 +97,109 @@ def _rollout(decoder, variables, z, stoich, heads_vec, rng, cfg: RLConfig,
         site_dup_threshold=cfg.site_dup_threshold,
         use_type_masking=cfg.use_type_masking,
     )
+
+
+def _rollout(decoder, variables, z, stoich, heads_vec, rng, cfg: RLConfig,
+             luts, greedy: bool, temperature=None, memory=None,
+             greedy_mask=None):
     return generate_with_kv_cache(
-        decoder, variables, z, stoich, heads_vec, rng, gcfg,
+        decoder, variables, z, stoich, heads_vec, rng, _gen_cfg(cfg, greedy),
         type_masks=luts['type_masks'] if cfg.use_type_masking else None,
-        temperature=None if greedy else temperature)
+        temperature=None if greedy else temperature, memory=memory,
+        greedy_mask=greedy_mask)
+
+
+def _frozen_rollout_inputs(variables, z, stoich, heads_vec):
+    """Stop-gradient copies for sampling: the rollout scan then carries no
+    differentiable state, so XLA compiles it forward-only (no residuals, no
+    rematerialised backward scan)."""
+    sg = jax.lax.stop_gradient
+    return jax.tree.map(sg, variables), sg(z), sg(stoich), sg(heads_vec)
+
+
+def rescore_log_probs(
+    decoder, variables,
+    z: jnp.ndarray, stoich: jnp.ndarray, heads_vec: jnp.ndarray,
+    tokens: jnp.ndarray,              # [B, T] sampled rollout (no BOS)
+    cfg: RLConfig,
+    luts: Dict[str, jnp.ndarray],
+    temperature: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """log pi(sampled token) per position, via ONE parallel TF pass.
+
+    Reconstructs the exact per-step sampling distribution of
+    ``generate_with_kv_cache`` (type masking -> stop/length boost -> hard
+    stop -> degenerate guard -> temperature) from the sampled token stream:
+    the decoder is causal, so TF hidden states at position t equal the
+    rollout's step-t hidden states, and the gating state (finished, seen
+    elements) is a pure function of the tokens already emitted.
+    Returns ``log_probs [B, T]`` (differentiable w.r.t. ``variables``/``z``).
+    """
+    from ..models.decoder import FormulaDecoder  # avoid cycle
+
+    b, t = tokens.shape
+    gcfg = _gen_cfg(cfg, greedy=False)
+    if gcfg.top_k or gcfg.top_p < 1.0:
+        raise NotImplementedError('rescore supports the RL gate stack only '
+                                  '(no top-k/top-p)')
+
+    inputs = jnp.concatenate(
+        [jnp.full((b, 1), BOS_ID, jnp.int32), tokens.astype(jnp.int32)],
+        axis=1)                                            # [B, T+1]
+    heads = decoder.apply(variables, z, inputs, stoich, heads_vec,
+                          deterministic=True)
+    logits = heads['logits'].astype(jnp.float32)           # [B, T, V]
+    neg_inf = jnp.finfo(logits.dtype).min
+    pos = jnp.arange(t)                                    # step index
+
+    # finished[t]: EOS emitted strictly before step t (rollout carry state)
+    eos_cum = jnp.cumsum((tokens == EOS_ID).astype(jnp.int32), axis=1)
+    finished = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), eos_cum[:, :-1] > 0], axis=1)  # [B, T]
+
+    if gcfg.use_type_masking and luts.get('type_masks') is not None:
+        ptype = jnp.argmax(heads['type_logits'].astype(jnp.float32), axis=-1)
+        valid = luts['type_masks'][ptype]                  # [B, T, V]
+        logits = jnp.where(valid, logits, neg_inf)
+
+    if gcfg.site_dup_threshold > 0:
+        # seen[t]: element tokens emitted before step t while unfinished
+        is_elem = ((tokens >= ELEMENT_TOKEN_START)
+                   & (tokens < INTEGER_TOKEN_START) & (~finished))
+        onehot = (jax.nn.one_hot(tokens, logits.shape[-1], dtype=jnp.int32)
+                  * is_elem[..., None].astype(jnp.int32))
+        seen = jnp.cumsum(onehot, axis=1) - onehot > 0     # strictly before t
+        dup_prob = jax.nn.sigmoid(heads['site_dup_logits'].astype(jnp.float32))
+        suppress = (dup_prob < gcfg.site_dup_threshold) & (pos[None, :] > 0)
+        logits = jnp.where(suppress[..., None] & seen,
+                           jnp.asarray(-30.0, logits.dtype), logits)
+
+    if gcfg.stop_boost > 0:
+        stop_prob = jax.nn.sigmoid(heads['stop_logits'].astype(jnp.float32))
+        boost = gcfg.stop_boost * stop_prob                # [B, T]
+        length_boost = jnp.where(
+            pos > gcfg.length_boost_start,
+            gcfg.length_boost_scale * (pos - gcfg.length_boost_start)
+            / max(gcfg.max_len - gcfg.length_boost_start, 1),
+            0.0).astype(logits.dtype)                      # [T]
+        logits = logits.at[:, :, EOS_ID].add(boost + length_boost[None, :])
+        if gcfg.hard_stop_threshold > 0:
+            force = (stop_prob > gcfg.hard_stop_threshold) & (~finished)
+            forced = jnp.full((logits.shape[-1],), neg_inf,
+                              logits.dtype).at[EOS_ID].set(100.0)
+            logits = jnp.where(force[..., None], forced[None, None, :], logits)
+
+    degenerate = (~jnp.isfinite(logits).any(axis=-1)
+                  | jnp.isnan(logits).any(axis=-1))        # [B, T]
+    safe = jnp.where(degenerate[..., None], jnp.zeros_like(logits), logits)
+    temp = gcfg.temperature if temperature is None else temperature
+    t_logits = safe / temp
+    # same clipped-softmax log-prob formula as the rollout step
+    probs = jnp.clip(jax.nn.softmax(t_logits, axis=-1), 1e-8)
+    lp = jnp.take_along_axis(jnp.log(probs),
+                             tokens[..., None].astype(jnp.int32),
+                             axis=-1)[..., 0]              # [B, T]
+    return lp
 
 
 def scst_loss(
@@ -108,23 +219,42 @@ def scst_loss(
     t = targets.shape[1]
     g_rng, s_rng = jax.random.split(rng)
 
-    greedy = _rollout(decoder, variables, z, stoich, heads_vec, g_rng,
-                      cfg, luts, greedy=True)
-    g_tokens = _pad_to(greedy['tokens'], t, 0)
-    g_mask = _pad_to(greedy['mask'], t, 0.0)
-    g_reward = _total_reward(g_tokens, targets, g_mask, cfg, luts,
-                             family_predictions)
-    g_reward = jax.lax.stop_gradient(g_reward)
+    # sampling runs gradient-free on frozen params with ONE shared memory
+    # precompute; greedy baseline + sampled rollout fuse into ONE [2B]
+    # forward scan (decode steps are latency-bound: one double-batch scan
+    # beats two sequential scans)
+    b = targets.shape[0]
+    fvars, fz, fstoich, fheads = _frozen_rollout_inputs(
+        variables, z, stoich, heads_vec)
+    from ..models.decoder import FormulaDecoder  # avoid cycle
+    f_memory = decoder.apply(fvars, fz, fstoich, fheads,
+                             method=FormulaDecoder.build_memory)
 
-    sample = _rollout(decoder, variables, z, stoich, heads_vec, s_rng,
-                      cfg, luts, greedy=False, temperature=temperature)
-    s_tokens = _pad_to(sample['tokens'], t, 0)
-    s_mask = _pad_to(sample['mask'], t, 0.0)
-    s_logp = _pad_to(sample['log_probs'], t, 0.0)
-    s_ent = _pad_to(sample['entropy'], t, 0.0)
+    two = lambda x: jnp.concatenate([x, x], axis=0)
+    gmask = jnp.concatenate([jnp.ones((b,), bool), jnp.zeros((b,), bool)])
+    both = _rollout(decoder, fvars, two(fz), two(fstoich), two(fheads),
+                    s_rng, cfg, luts, greedy=False, temperature=temperature,
+                    memory=two(f_memory), greedy_mask=gmask)
+    tokens2 = _pad_to(both['tokens'], t, 0)
+    mask2 = _pad_to(both['mask'], t, 0.0)
+    # rewards per half: the novelty bonus is batch-relative, so the greedy
+    # twins must not count as neighbours of the sampled rows
+    g_reward = jax.lax.stop_gradient(
+        _total_reward(tokens2[:b], targets, mask2[:b], cfg, luts,
+                      family_predictions))
+    s_tokens = tokens2[b:]
+    s_mask = mask2[b:]
+    s_ent = _pad_to(both['entropy'], t, 0.0)[b:]
     s_reward = jax.lax.stop_gradient(
         _total_reward(s_tokens, targets, s_mask, cfg, luts,
                       family_predictions))
+
+    # differentiable log pi(sampled) via one parallel TF pass (rematerialised
+    # in backward: residuals are just its inputs)
+    s_logp = jax.checkpoint(
+        lambda v, zz, st, hv: rescore_log_probs(
+            decoder, v, zz, st, hv, s_tokens, cfg, luts,
+            temperature=temperature))(variables, z, stoich, heads_vec)
 
     adv = s_reward - g_reward
     seq_logp = (s_logp * s_mask).sum(axis=1)
@@ -167,12 +297,17 @@ def rloo_loss(
     fam_k = (jnp.tile(family_predictions, (k, 1))
              if family_predictions is not None else None)
 
-    sample = _rollout(decoder, variables, z_k, stoich_k, heads_k, rng,
+    fvars, fz, fstoich, fheads = _frozen_rollout_inputs(
+        variables, z_k, stoich_k, heads_k)
+    sample = _rollout(decoder, fvars, fz, fstoich, fheads, rng,
                       cfg, luts, greedy=False, temperature=temperature)
     s_tokens = _pad_to(sample['tokens'], t, 0)
     s_mask = _pad_to(sample['mask'], t, 0.0)
-    s_logp = _pad_to(sample['log_probs'], t, 0.0)
     s_ent = _pad_to(sample['entropy'], t, 0.0)
+    s_logp = jax.checkpoint(
+        lambda v, zz, st, hv: rescore_log_probs(
+            decoder, v, zz, st, hv, s_tokens, cfg, luts,
+            temperature=temperature))(variables, z_k, stoich_k, heads_k)
 
     task_r = _total_reward(s_tokens, targets_k, s_mask, cfg, luts, fam_k)
     ent_pos = s_ent * s_mask

@@ -236,14 +236,14 @@ def _build_step_fn(
                 kwargs['entropy_weight'] = dyn['entropy_weight']
             if 'entropy_pos_w' in dyn:
                 kwargs['position_entropy_w'] = dyn['entropy_pos_w']
-            # checkpoint the whole RL term: its rollout residuals then never
-            # coexist with the TF-path activations (peak HBM = max of the
-            # two paths instead of their sum)
-            def _rl_term(dec_params, z, stoich, heads_vec, kw):
-                return rl_fn(decoder, dec_params, z, stoich, heads_vec,
-                             targets, rl_rng, rlcfg, luts, **kw)
-            rl, reward_mean, _, rl_extras = jax.checkpoint(_rl_term)(
-                dec_params, enc_out['z'], stoich, heads_vec, kwargs)
+            # The rollouts inside rl_fn run on frozen params (forward-only
+            # scans, no residuals) and the REINFORCE log-probs come from a
+            # parallel TF re-score that is itself jax.checkpoint'ed inside
+            # ops/rl.py — so no outer remat: it would only recompute the
+            # gradient-free rollouts during backward.
+            rl, reward_mean, _, rl_extras = rl_fn(
+                decoder, dec_params, enc_out['z'], stoich, heads_vec,
+                targets, rl_rng, rlcfg, luts, **kwargs)
 
         pz = None
         if tcfg.use_physics_z:

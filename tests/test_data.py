@@ -420,3 +420,29 @@ def test_order_augmentation_rows(tmp_path):
                          order_augment_seed=0)
     np.testing.assert_array_equal(ds_c.aug_group, ds_c2.aug_group)
     np.testing.assert_array_equal(ds_c.tokens, ds_c2.tokens)
+
+
+def test_subset_and_stratified_sample():
+    """Eval-slice helpers: seeded random + is_sc-stratified subsetting
+    (head slices of a sorted corpus are not balance-representative)."""
+    ds = synthetic_dataset(n=40, max_len=30, magpie_dim=8)
+    ds.is_sc[:] = 0
+    ds.is_sc[:10] = 1                      # 25% SC corpus
+
+    idx = ds.sample_indices(20, seed=3, stratify_sc=True)
+    assert len(idx) == 20
+    sub = ds.subset(idx)
+    assert len(sub) == 20
+    assert int(sub.is_sc.sum()) == 10      # exact 50/50 slice
+    # determinism
+    np.testing.assert_array_equal(idx, ds.sample_indices(20, seed=3,
+                                                         stratify_sc=True))
+    assert not np.array_equal(idx, ds.sample_indices(20, seed=4,
+                                                     stratify_sc=True))
+    # stratified tops up from the larger class when one side is short
+    idx2 = ds.sample_indices(30, seed=0, stratify_sc=True)
+    assert len(idx2) == 30 and int(ds.is_sc[idx2].sum()) == 10
+    # subset carries rows consistently
+    j = int(idx[0])
+    assert sub.formulas[0] == ds.formulas[j]
+    np.testing.assert_array_equal(sub.tokens[0], ds.tokens[j])

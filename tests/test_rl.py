@@ -96,6 +96,38 @@ def test_novelty_bonus_and_position_weights(setup):
     assert np.isfinite(float(extras['reward_var']))
 
 
+def test_rescore_matches_rollout_log_probs(setup):
+    """The parallel TF re-score must reproduce the rollout's gated sampling
+    log-probs exactly (same gates: type mask, stop/length boost, hard stop,
+    degenerate guard, temperature) — the REINFORCE gradient path depends on
+    this equivalence."""
+    from superconductor_vae_tpu.generation.generate import (
+        GenerationConfig, generate_with_kv_cache)
+    from superconductor_vae_tpu.ops.rl import rescore_log_probs
+    dec, params, z, stoich, heads_vec, targets, luts = setup
+    for use_masking, site_dup in [(True, 0.0), (False, 0.0), (True, 0.5)]:
+        cfg = RLConfig(method='scst', max_len=CFG.max_len,
+                       use_type_masking=use_masking,
+                       site_dup_threshold=site_dup,
+                       stop_boost=10.0, hard_stop_threshold=0.8,
+                       temperature=1.2)
+        gcfg = GenerationConfig(
+            max_len=cfg.max_len, temperature=cfg.temperature,
+            stop_boost=cfg.stop_boost,
+            hard_stop_threshold=cfg.hard_stop_threshold,
+            site_dup_threshold=cfg.site_dup_threshold,
+            use_type_masking=cfg.use_type_masking)
+        out = generate_with_kv_cache(
+            dec, params, z, stoich, heads_vec, jax.random.PRNGKey(7), gcfg,
+            type_masks=luts['type_masks'] if use_masking else None)
+        lp = rescore_log_probs(dec, params, z, stoich, heads_vec,
+                               out['tokens'], cfg, luts)
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(out['log_probs']),
+            rtol=2e-4, atol=2e-4,
+            err_msg=f'masking={use_masking} site_dup={site_dup}')
+
+
 def test_per_position_weighter():
     from superconductor_vae_tpu.training.schedulers import (
         PerPositionEntropyWeighter)

@@ -96,7 +96,8 @@ class SuperconductorDiscoveryPipeline:
                 stop_boost=0.0 if pure_greedy else 10.0,
                 hard_stop_threshold=0.0 if pure_greedy else 0.8,
                 use_type_masking=(self.type_masks is not None
-                                  and not pure_greedy))
+                                  and not pure_greedy),
+                early_exit=True)
 
             @jax.jit
             def run(enc_params, dec_params, z, rng, temp, tm):

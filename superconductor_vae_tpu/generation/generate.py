@@ -40,6 +40,15 @@ class GenerationConfig:
     use_type_masking: bool = False
     length_boost_start: int = 10
     length_boost_scale: float = 10.0
+    # stop the rollout once every row has emitted EOS (lax.while_loop).
+    # Token-identical to the fixed scan up to each row's first EOS (the
+    # dead post-EOS positions are left 0 instead of garbage-sampled).
+    # Forward-only: reverse-mode cannot cross a while_loop, so callers
+    # that differentiate through the rollout (round-trip loss, Phase-2)
+    # must keep the scan.  Pays off when the batch's longest formula is
+    # well under max_len — a trained model finishes in ~15-22 of the 29
+    # steps.
+    early_exit: bool = False
 
     @property
     def greedy(self) -> bool:
@@ -200,17 +209,38 @@ def generate_with_kv_cache(
         finished = finished | (next_tok == EOS_ID)
         return (next_tok, finished, kc, vc, seen), (next_tok, log_prob, entropy)
 
-    # remat the decode step: SCST/RLOO differentiate through the sampled
-    # rollout's log_probs, and without checkpointing the backward pass
-    # stores every step's full decoder activations (OOMs HBM at batch 128
-    # on the 108M model — 26G > 16G).  Recomputing the step in backward
-    # keeps only the scan carries.  Forward-only generation is unaffected.
-    _, (tokens, log_probs, entropies) = jax.lax.scan(
-        jax.checkpoint(body), init, jnp.arange(steps))
+    if gcfg.early_exit:
+        tok_buf = jnp.zeros((b, steps), jnp.int32)
+        lp_buf = jnp.zeros((b, steps), jnp.float32)
+        ent_buf = jnp.zeros((b, steps), jnp.float32)
 
-    tokens = tokens.T                   # [B, steps]
-    log_probs = log_probs.T
-    entropies = entropies.T
+        def cond(state):
+            pos, carry, _ = state
+            finished = carry[1]
+            return (pos < steps) & ~finished.all()
+
+        def wbody(state):
+            pos, carry, bufs = state
+            carry, (tok, lp, ent) = body(carry, pos)
+            tb, lb, eb = bufs
+            bufs = (tb.at[:, pos].set(tok), lb.at[:, pos].set(lp),
+                    eb.at[:, pos].set(ent))
+            return pos + 1, carry, bufs
+
+        _, _, (tokens, log_probs, entropies) = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), init, (tok_buf, lp_buf, ent_buf)))
+    else:
+        # remat the decode step: some callers (round-trip loss, Phase-2)
+        # differentiate through the rollout, and without checkpointing the
+        # backward pass stores every step's full decoder activations (OOMs
+        # HBM at batch 128 on the 108M model — 26G > 16G).  Recomputing the
+        # step in backward keeps only the scan carries.  Forward-only
+        # generation is unaffected.
+        _, (tokens, log_probs, entropies) = jax.lax.scan(
+            jax.checkpoint(body), init, jnp.arange(steps))
+        tokens = tokens.T               # [steps, B] -> [B, steps]
+        log_probs = log_probs.T
+        entropies = entropies.T
     mask = sequence_mask(tokens)
     return {'tokens': tokens, 'log_probs': log_probs,
             'entropy': entropies, 'mask': mask}

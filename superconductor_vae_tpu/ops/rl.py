@@ -60,6 +60,9 @@ class RLConfig:
     # NoveltyBonus; 0 = off, the reference's default strategies don't use it)
     novelty_weight: float = 0.0
     novelty_k: int = 5
+    # rollouts are gradient-free (TF re-score carries the gradient), so the
+    # sampling scan can exit as soon as every row has stopped
+    early_exit: bool = True
 
 
 def _pad_to(x: jnp.ndarray, t: int, value) -> jnp.ndarray:
@@ -96,6 +99,7 @@ def _gen_cfg(cfg: RLConfig, greedy: bool) -> GenerationConfig:
         hard_stop_threshold=cfg.hard_stop_threshold,
         site_dup_threshold=cfg.site_dup_threshold,
         use_type_masking=cfg.use_type_masking,
+        early_exit=cfg.early_exit,
     )
 
 

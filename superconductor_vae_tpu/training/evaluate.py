@@ -67,7 +67,8 @@ def evaluate_autoregressive(
         stop_boost=tcfg.stop_boost,
         hard_stop_threshold=tcfg.hard_stop_threshold,
         site_dup_threshold=tcfg.site_dup_threshold,
-        use_type_masking=tcfg.use_type_masking_ar)
+        use_type_masking=tcfg.use_type_masking_ar,
+        early_exit=True)
     type_masks = luts['type_masks'] if tcfg.use_type_masking_ar else None
 
     # params are ARGUMENTS, not closure constants — closing over 108M params

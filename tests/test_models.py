@@ -213,3 +213,29 @@ def test_predict_tc_mc():
     assert mean.shape == (B,) and std.shape == (B,)
     assert np.isfinite(np.asarray(mean)).all()
     assert (np.asarray(std) > 0).all()   # dropout perturbs the decode path
+
+
+def test_generation_early_exit_token_identical(decoder_and_params):
+    """early_exit while_loop == fixed scan, token-for-token up to each
+    row's first EOS (dead post-EOS positions are 0 instead of garbage)."""
+    import dataclasses as dc
+    from superconductor_vae_tpu.generation import sequence_mask
+    dec, params, (z, stoich, heads_vec, _) = decoder_and_params
+    for kwargs in (dict(temperature=0.0, stop_boost=8.0,
+                        hard_stop_threshold=0.5),
+                   dict(temperature=1.2, stop_boost=8.0,
+                        hard_stop_threshold=0.5)):
+        gcfg = GenerationConfig(max_len=CFG.max_len, **kwargs)
+        scan = generate_with_kv_cache(dec, params, z, stoich, heads_vec,
+                                      jax.random.PRNGKey(3), gcfg)
+        ee = generate_with_kv_cache(dec, params, z, stoich, heads_vec,
+                                    jax.random.PRNGKey(3),
+                                    dc.replace(gcfg, early_exit=True))
+        m = np.asarray(sequence_mask(scan['tokens'])).astype(bool)
+        np.testing.assert_array_equal(np.asarray(scan['tokens'])[m],
+                                      np.asarray(ee['tokens'])[m])
+        np.testing.assert_array_equal(np.asarray(scan['mask']),
+                                      np.asarray(ee['mask']))
+        np.testing.assert_allclose(np.asarray(scan['log_probs'])[m],
+                                   np.asarray(ee['log_probs'])[m],
+                                   rtol=1e-6, atol=1e-6)

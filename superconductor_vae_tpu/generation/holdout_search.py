@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import time
 from fractions import Fraction
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -80,6 +81,9 @@ class HoldoutResult:
     # at EVERY position (greedy decode then provably reproduces the target
     # unless the generation-loop stop/type machinery intervenes)
     inversion_diag: Optional[Dict[str, float]] = None
+    # wall-clock seconds this target's search took (timing provenance for
+    # the campaign comparison table)
+    wall_s: Optional[float] = None
 
 
 def element_presence(formulas: List[str]) -> np.ndarray:
@@ -802,6 +806,7 @@ class HoldoutSearch:
         # compare would never fire (reference holdout_search.py:546-566
         # compares raw strings because its corpus preserves order)
         for t_i, target in enumerate(targets or self.targets):
+            t_start = time.perf_counter()
             t_rng = jax.random.fold_in(rng, target_offset + t_i)
             tkey = canonical_composition_key(target)
 
@@ -1079,7 +1084,8 @@ class HoldoutSearch:
                 oracle_formula=oracle_f, oracle_match=oracle_m,
                 found_by=first_label.get(best),
                 exact_tier=exact_tier, tier_sim=tier_sim or None,
-                inversion_diag=inv_diag))
+                inversion_diag=inv_diag,
+                wall_s=round(time.perf_counter() - t_start, 2)))
             log_fn(f'[{target_offset + t_i + 1}] {target}: '
                    f'best={best!r} sim={best_sim:.3f} '
                    f'{"EXACT[" + str(exact_tier) + "/" + str(first_label.get(best)) + "]" if best_exact else ""}'

@@ -59,7 +59,7 @@ def main():
     )
     from superconductor_vae_tpu.data import load_dataset
     from superconductor_vae_tpu.data.pipeline import (
-        _apply_order_augmentation, parse_formula_composition,
+        _apply_order_augmentation, canonical_composition_key,
     )
     from superconductor_vae_tpu.models import (
         FormulaDecoder, MaterialsEncoder,
@@ -109,12 +109,7 @@ def main():
         aug, tcfg, luts, tokenizer=tokenizer, batch_size=args.batch_size,
         collect_errors=True, sample_indices=np.arange(n0))
 
-    def comp_of(formula):
-        try:
-            return {e: round(v, 6)
-                    for e, v in parse_formula_composition(formula).items()}
-        except Exception:
-            return None
+    comp_of = canonical_composition_key   # spelling-independent identity
 
     def decoded_map(res):
         return {int(r['index']): r['generated']
@@ -135,7 +130,7 @@ def main():
             decoded = aug.formulas[row]        # exact == its own spelling
         else:
             decoded = dec_resp.get(int(row), '')
-        comp_exact[j] = (src_comp is not None
+        comp_exact[j] = (src_comp is not None and decoded != ''
                          and comp_of(decoded) == src_comp)
         canonical[j] = (decoded == base.formulas[src]
                         or decoded == src_decoded_target)

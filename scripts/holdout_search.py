@@ -134,17 +134,16 @@ def main():
         )
         rows = []
         for t in (targets or search.targets):
-            zo = search.oracle_encode_latent(t)
+            res = search.oracle_reconstruct(t)
             rec = {'target': t, 'oracle_formula': None,
                    'oracle_match': False}
-            if zo is not None:
-                fs = pipe.decode_latents(zo, temperature=0.0,
-                                         chunk=args.decode_chunk)
+            if res is not None:
+                f0 = res[0]
                 tkey = canonical_composition_key(t)
-                rec['oracle_formula'] = fs[0] if fs else ''
+                rec['oracle_formula'] = f0
                 rec['oracle_match'] = bool(
-                    tkey is not None and fs and fs[0]
-                    and canonical_composition_key(fs[0]) == tkey)
+                    tkey is not None and f0
+                    and canonical_composition_key(f0) == tkey)
             rows.append(rec)
             print(f"{t}: {rec['oracle_formula']!r} "
                   f"{'MATCH' if rec['oracle_match'] else ''}", flush=True)

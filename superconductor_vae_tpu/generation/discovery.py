@@ -135,6 +135,42 @@ class SuperconductorDiscoveryPipeline:
             out.extend(self.tokenizer.decode(t) for t in arr)
         return out
 
+    def decode_conditioned(self, z: jnp.ndarray, stoich: jnp.ndarray,
+                           heads_vec: jnp.ndarray,
+                           type_masks: Optional[jnp.ndarray] = None
+                           ) -> List[str]:
+        """Greedy decode with EXPLICIT conditioning (the AR-eval convention:
+        ground-truth stoich + encoder-head vector, reference
+        stoich_cond_tf=1.0 train_v12_clean.py:464) instead of the
+        heads_from_z PREDICTED conditioning `decode_latents` uses.
+
+        Exists for full-supervision reconstruction diagnostics (oracle):
+        the round-4 bisect showed the oracle z is bit-identical to the
+        corpus-row z, yet predicted-stoich decode loses the reconstruction
+        — the fraction head's conditioning error dominates, so the oracle
+        must condition like the eval path does."""
+        if not hasattr(self, '_jit_cache'):
+            self._jit_cache = {}
+        if 'decode_cond' not in self._jit_cache:
+            gcfg = GenerationConfig(
+                max_len=self.decoder.cfg.max_len, temperature=0.0,
+                stop_boost=10.0, hard_stop_threshold=0.8,
+                use_type_masking=self.type_masks is not None,
+                early_exit=True)
+
+            @jax.jit
+            def run(dec_params, z, stoich, heads_vec, tm):
+                return generate_with_kv_cache(
+                    self.decoder, dec_params, z, stoich, heads_vec,
+                    jax.random.PRNGKey(0), gcfg, type_masks=tm)['tokens']
+            self._jit_cache['decode_cond'] = run
+        tm = self.type_masks if type_masks is None else type_masks
+        if tm is None:
+            tm = jnp.zeros((1, 1), bool)
+        toks = self._jit_cache['decode_cond'](
+            self.dec_params, z, stoich, heads_vec, tm)
+        return [self.tokenizer.decode(t) for t in np.asarray(toks)]
+
     def _full_heads(self, z: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Inference-mode head assembly from z (no input features).
         Jit cached on the instance (a fresh jax.jit per call retraces)."""

@@ -21,7 +21,7 @@ import json
 import time
 from fractions import Fraction
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -689,6 +689,56 @@ class HoldoutSearch:
             method=MaterialsEncoder.encode)
         return out['z']
 
+    def oracle_reconstruct(self, target: str,
+                           type_masks: Optional[jnp.ndarray] = None
+                           ) -> Optional[Tuple[str, jnp.ndarray]]:
+        """Full-supervision holdout RECONSTRUCTION: encode the target's
+        composition (GT fractions, full fresh-Magpie through the persisted
+        quantile grids, known Tc) and greedy-decode with GROUND-TRUTH
+        stoich conditioning + the encoder's head vector — the SAME
+        conditioning convention as the standard AR eval and the reference
+        (stoich_cond_tf=1.0, train_v12_clean.py:464; its inference uses the
+        fraction head only for *generative* latents).
+
+        Why not decode through ``decode_latents`` (heads_from_z): the
+        round-4 bisect (`scripts/oracle_bisect.py`) showed the oracle z is
+        bit-identical (max |dz| = 0.0) to the corpus-row z, yet
+        predicted-stoich decode reconstructed 0/24 training rows that the
+        eval path reconstructs at 77.5% — the decoder is hypersensitive to
+        stoich-conditioning error, and GT stoich is inside the oracle's
+        information budget by definition (it already feeds GT Magpie+Tc).
+        Returns (decoded formula, z) or None if the target can't encode."""
+        from ..data.pipeline import MAX_ELEMENTS
+        comp = parse_formula_composition(target)
+        if not comp:
+            return None
+        idx = np.zeros((1, MAX_ELEMENTS), np.int32)
+        frac = np.zeros((1, MAX_ELEMENTS), np.float32)
+        mask = np.zeros((1, MAX_ELEMENTS), bool)
+        total = sum(comp.values()) or 1.0
+        for j, (el, amt) in enumerate(sorted(comp.items())[:MAX_ELEMENTS]):
+            z_num = SYMBOL_TO_Z.get(el)
+            if z_num is None:
+                return None
+            idx[0, j] = z_num
+            frac[0, j] = amt / total
+            mask[0, j] = True
+        (_, _, _, tc_star, _, mg_star, _) = self._target_head_arrays(target)
+        enc = self.pipe.encoder
+        enc_out = enc.apply(
+            self.pipe.enc_params, jnp.asarray(idx), jnp.asarray(frac),
+            jnp.asarray(mask), jnp.asarray(mg_star[None]),
+            jnp.asarray(np.asarray([tc_star], np.float32)))
+        heads_vec = enc.apply(self.pipe.enc_params, enc_out,
+                              method=type(enc).heads_pred_for_decoder)
+        stoich = jnp.concatenate([
+            jnp.asarray(frac * mask),
+            jnp.asarray(mask.sum(axis=1, keepdims=True), jnp.float32)],
+            axis=1)
+        fs = self.pipe.decode_conditioned(enc_out['z'], stoich, heads_vec,
+                                          type_masks=type_masks)
+        return (fs[0] if fs else ''), enc_out['z']
+
     def _element_type_masks(self, target: str) -> Optional[jnp.ndarray]:
         """Type masks with the ELEMENT row restricted to the target's element
         set — the decode-time constraint for the *element-constrained* search
@@ -1055,12 +1105,9 @@ class HoldoutSearch:
 
             oracle_f = oracle_m = None
             if oracle_diagnostic:
-                zo = self.oracle_encode_latent(target)
-                if zo is not None:
-                    fs = self.pipe.decode_latents(
-                        zo, temperature=0.0, type_masks=tmask,
-                        chunk=decode_chunk)
-                    oracle_f = fs[0] if fs else ''
+                rec = self.oracle_reconstruct(target, type_masks=tmask)
+                if rec is not None:
+                    oracle_f = rec[0]
                     oracle_m = bool(
                         tkey is not None and oracle_f
                         and canonical_composition_key(oracle_f) == tkey)

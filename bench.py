@@ -248,6 +248,16 @@ def main():
     rl_samples_per_s = None
     rl_error = None
     if not args.rl and not args.quick:
+        # watchdog: a wedged remote compile (the axon tunnel hangs
+        # occasionally under load) must fail loudly into rl_error, not
+        # hang the whole bench past the driver's window
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError('rl probe exceeded 900s (remote compile '
+                               'hang?)')
+        old_handler = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(900)
         try:
             from superconductor_vae_tpu.training.train_step import (
                 make_epoch_runner,
@@ -285,6 +295,9 @@ def main():
             # primary metric, but its failure must be loud in the artifact
             rl_error = f'{type(e).__name__}: {e}'[:500]
             print(f'# rl probe failed: {rl_error}', file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_handler)
 
     out = {
         'metric': 'train_samples_per_s_per_chip_108M_multitask'

@@ -82,8 +82,9 @@ class HoldoutResult:
     # unless the generation-loop stop/type machinery intervenes)
     inversion_diag: Optional[Dict[str, float]] = None
     # wall-clock seconds this target's search took (timing provenance for
-    # the campaign comparison table)
-    wall_s: Optional[float] = None
+    # the campaign comparison table); excluded from equality so sharded
+    # campaign runs compare equal to unsharded ones on search outcomes
+    wall_s: Optional[float] = dataclasses.field(default=None, compare=False)
 
 
 def element_presence(formulas: List[str]) -> np.ndarray:

@@ -69,6 +69,12 @@ class LossConfig:
     label_smoothing: float = 0.1
     fraction_token_weight: float = 2.0
 
+    # SupCon contrastive over latents (reference: losses/contrastive.py:33;
+    # weight 0 on the reference's active path — enabling pulls same-family
+    # latents together using the contrastive category labels)
+    supcon_weight: float = 0.0
+    supcon_temperature: float = 0.07
+
     # semantic-unit penalties (reference: losses/semantic_unit_loss.py:291;
     # available in the reference loss zoo, weight 0 on the active path)
     semantic_unit_weight: float = 0.0
@@ -449,6 +455,12 @@ def multitask_loss(
         + cfg.family_loss_weight * mult('family') * family_loss
         + dyn.get('physz_w', 0.0) * mult('physics_z') * pz
     )
+
+    # ---- SupCon contrastive (static-gated: zero compute when off) ----------
+    if cfg.supcon_weight > 0 and 'label' in batch:
+        from .aux_losses import supcon_loss
+        total = total + cfg.supcon_weight * supcon_loss(
+            enc_out['z'], batch['label'], cfg.supcon_temperature)
 
     # ---- metrics -----------------------------------------------------------
     pred = jnp.argmax(logits, axis=-1)

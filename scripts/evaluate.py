@@ -77,6 +77,13 @@ def main():
                       skew_transform=ckpt_skew_transform(meta))
     slice_provenance = {'sample': 'full', 'seed': None}
     if args.limit is not None and args.sample != 'head':
+        # round-4 change of default: --limit takes a seeded stratified
+        # sample, NOT the legacy head slice — say so loudly so limited-eval
+        # numbers aren't silently compared against pre-round-4 head-slice
+        # JSONs (ADVICE r4; pass --sample head for the legacy behavior)
+        print(f'# note: --limit {args.limit} uses {args.sample!r} sampling '
+              f'(seed {args.sample_seed}), not the legacy head slice',
+              file=sys.stderr)
         idx = ds.sample_indices(args.limit, seed=args.sample_seed,
                                 stratify_sc=(args.sample == 'stratified'))
         ds = ds.subset(idx)

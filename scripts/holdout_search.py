@@ -134,9 +134,15 @@ def main():
         )
         rows = []
         for t in (targets or search.targets):
-            res = search.oracle_reconstruct(t)
+            # same mask convention as the in-campaign oracle diagnostic
+            # (element-constrained; within the oracle's information budget,
+            # which already includes the full target composition) so the two
+            # oracle numbers measure the same protocol
+            res = search.oracle_reconstruct(
+                t, type_masks=search._element_type_masks(t))
             rec = {'target': t, 'oracle_formula': None,
-                   'oracle_match': False}
+                   'oracle_match': False,
+                   'oracle_masks': 'element-constrained'}
             if res is not None:
                 f0 = res[0]
                 tkey = canonical_composition_key(t)

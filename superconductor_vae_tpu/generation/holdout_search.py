@@ -57,6 +57,11 @@ class HoldoutResult:
     # at all. The headline `exact` counts only navigation-found candidates.
     oracle_formula: Optional[str] = None
     oracle_match: Optional[bool] = None
+    # type-mask convention the oracle decode ran under
+    # ('element-constrained' | 'generic') — protocol provenance so oracle
+    # numbers from the campaign and the standalone --oracle-only script are
+    # comparable (ADVICE r4: they silently differed)
+    oracle_masks: Optional[str] = None
     # which strategy family first produced the best match ('inversion' /
     # 'pool' / 'guided' / 'inverse_regression' / 'refine') — strategy
     # attribution so extensions beyond the reference's strategy set stay
@@ -1105,6 +1110,7 @@ class HoldoutSearch:
                     }.get(first_label.get(best) or '', 'mixed')
 
             oracle_f = oracle_m = None
+            oracle_masks = None
             if oracle_diagnostic:
                 rec = self.oracle_reconstruct(target, type_masks=tmask)
                 if rec is not None:
@@ -1112,6 +1118,12 @@ class HoldoutSearch:
                     oracle_m = bool(
                         tkey is not None and oracle_f
                         and canonical_composition_key(oracle_f) == tkey)
+                    # protocol provenance: which type-mask convention the
+                    # oracle decode used, so oracle numbers are comparable
+                    # across the campaign and the standalone --oracle-only
+                    # script (they historically differed silently)
+                    oracle_masks = ('element-constrained' if tmask is not None
+                                    else 'generic')
 
             consistent = True
             cons_info = None
@@ -1130,6 +1142,7 @@ class HoldoutSearch:
                 best_similarity=best_sim, n_candidates=len(by_formula),
                 consistent=consistent, consistency=cons_info,
                 oracle_formula=oracle_f, oracle_match=oracle_m,
+                oracle_masks=oracle_masks,
                 found_by=first_label.get(best),
                 exact_tier=exact_tier, tier_sim=tier_sim or None,
                 inversion_diag=inv_diag,

@@ -221,7 +221,14 @@ def scst_loss(
     """Self-critical sequence training.
     Returns (loss, mean_reward, entropy, extras{reward_var})."""
     t = targets.shape[1]
-    g_rng, s_rng = jax.random.split(rng)
+    # One live RNG stream: since round 4 the greedy baseline is fused into
+    # the single [2B] rollout below (the greedy half ignores the stream), so
+    # there is no separate greedy key — the second split output is unused
+    # and kept only so the sampled-token stream stays bit-identical to the
+    # round-4 runs.  That fusion already changed the stream relative to
+    # round 3's two-pass SCST, so per-step reproducibility against
+    # pre-round-4 runs is not expected.
+    _, s_rng = jax.random.split(rng)
 
     # sampling runs gradient-free on frozen params with ONE shared memory
     # precompute; greedy baseline + sampled rollout fuse into ONE [2B]

@@ -26,16 +26,17 @@ TC_BINS = ((0, 10), (10, 50), (50, 100), (100, 120), (120, 200), (200, 1000))
 
 
 def _exact_match(generated: np.ndarray, targets: np.ndarray) -> np.ndarray:
-    """Per-sample: generated token stream equals target up to/incl. EOS."""
+    """Per-sample: generated token stream equals target up to/incl. EOS.
+    Vectorized (no per-row Python loop); a target with no EOS is never
+    exact, matching the historical per-row semantics."""
     b, t = targets.shape
-    out = np.zeros(b, bool)
-    for i in range(b):
-        tgt = targets[i]
-        end = np.where(tgt == EOS_ID)[0]
-        end = int(end[0]) if len(end) else t
-        g = generated[i][:end + 1] if generated.shape[1] > end else generated[i]
-        out[i] = (len(g) >= end + 1) and (g[:end + 1] == tgt[:end + 1]).all()
-    return out
+    g = generated[:, :t]
+    if g.shape[1] < t:
+        g = np.pad(g, ((0, 0), (0, t - g.shape[1])), constant_values=-1)
+    has_eos = (targets == EOS_ID).any(axis=1)
+    eos_pos = np.where(has_eos, (targets == EOS_ID).argmax(axis=1), t - 1)
+    needed = np.arange(t)[None, :] <= eos_pos[:, None]
+    return ((g == targets) | ~needed).all(axis=1) & has_eos
 
 
 def evaluate_autoregressive(
@@ -117,13 +118,24 @@ def evaluate_autoregressive(
     pos_errors, pos_masks = [], []
     errors: List[dict] = []
 
-    for b in range(nb):
+    def _dispatch(b):
+        """Async-dispatch one eval batch; returns (row_idx, device_out).
+        JAX dispatch returns immediately, so the device decodes batch b+1
+        while the host scores batch b (the full-corpus eval was host-bound:
+        the device round-trip serialized with ~2s/batch of host scoring)."""
         idx = sample_indices[b * batch_size: min((b + 1) * batch_size, n)]
         pad_n = batch_size - len(idx)
-        full_idx = np.concatenate([idx, np.zeros(pad_n, np.int64)]) if pad_n else idx
+        full_idx = (np.concatenate([idx, np.zeros(pad_n, np.int64)])
+                    if pad_n else idx)
         batch = {k: jnp.asarray(v) for k, v in ds.batch(full_idx).items()}
-        out = jax.tree.map(np.asarray,
-                           eval_batch(enc_params, dec_params, batch))
+        return idx, eval_batch(enc_params, dec_params, batch)
+
+    pending = _dispatch(0)
+    for b in range(nb):
+        idx, dev_out = pending
+        if b + 1 < nb:
+            pending = _dispatch(b + 1)   # overlaps with np.asarray below
+        out = jax.tree.map(np.asarray, dev_out)
         m = len(idx)
 
         targets = ds.tokens[idx][:, 1:]

@@ -532,32 +532,14 @@ def load_dataset(
     return ds
 
 
-def _apply_order_augmentation(ds: DatasetArrays,
-                              tokenizer: FractionAwareTokenizer,
-                              k: int, seed: int) -> DatasetArrays:
-    """Append up to ``k`` random element-order respellings per multi-element
-    row as real dataset rows (reference: data/canonical_ordering.py:228-295).
-
-    Tokens and element slots follow each new spelling's appearance order —
-    the encoder's element-slot inputs, the fraction head's per-slot targets
-    and the decoder's target sequence all stay mutually consistent per row.
-    Order-free tensors (Tc, Magpie, labels, comp targets) are shared with
-    the source row.  A respelling whose tokenization does not round-trip to
-    the same composition (overlong / out-of-vocab) is skipped."""
-    from .canonical_ordering import OrderAugmentation
+def _build_aug_rows(spellings: List[str],
+                    tokenizer: FractionAwareTokenizer):
+    """Tokenize respellings and build their appearance-order element slots.
+    Returns (tokens [n, max_len], idx, frac, mask [n, 12], ok [n]) where
+    ``ok`` marks respellings that round-tripped through the tokenizer."""
     from ..tokenizer import FRAC_UNK_ID, UNK_ID
-
-    aug = OrderAugmentation(n_augmentations=k, seed=seed)
-    src_rows: List[int] = []
-    spellings: List[str] = []
-    for i, f in enumerate(ds.formulas):
-        for g in aug.augment(f, include_original=False):
-            src_rows.append(i)
-            spellings.append(g)
-    if not spellings:
-        return ds
-
     from .. import native as _native
+
     toks = _native.tokenize_batch(spellings, tokenizer)
     if toks is None:
         toks = tokenizer.encode_batch(spellings)
@@ -567,7 +549,6 @@ def _apply_order_augmentation(ds: DatasetArrays,
     a_frac = np.zeros((n, MAX_ELEMENTS), np.float32)
     a_mask = np.zeros((n, MAX_ELEMENTS), bool)
     ok = np.ones(n, bool)
-    max_len = ds.tokens.shape[1]
     for j, f in enumerate(spellings):
         comp_items = []  # appearance order
         seen: Dict[str, int] = {}
@@ -602,6 +583,87 @@ def _apply_order_augmentation(ds: DatasetArrays,
         row = toks[j]
         if ((row == UNK_ID) | (row == FRAC_UNK_ID)).any():
             ok[j] = False
+    return toks, a_idx, a_frac, a_mask, ok
+
+
+def resample_order_augmentation(ds: DatasetArrays,
+                                tokenizer: FractionAwareTokenizer,
+                                seed: int) -> DatasetArrays:
+    """Redraw the element-order respellings of every augmented row IN PLACE
+    (same row count / same source mapping, fresh random permutations).
+
+    Round-4 finding (results/run5/order_robust.json): static K=1
+    augmentation teaches the decoder the one extra spelling it saw, not the
+    rule "emit elements in conditioning order" — novel permutations decoded
+    at 21.7% vs 78.4% on seen spellings.  Per-epoch resampling turns the
+    ordering supervision into fresh draws each epoch, which is the standard
+    augmentation regime the reference's OrderAugmentation was built for
+    (reference: data/canonical_ordering.py:228-295, 'randomize per epoch').
+
+    Rows whose fresh respelling fails to round-trip keep their previous
+    spelling (static shapes: the device-resident epoch scan needs a fixed
+    row count).  Source rows are untouched."""
+    if ds.aug_group is None:
+        return ds
+    aug_rows = np.where(ds.aug_group != np.arange(len(ds)))[0]
+    if len(aug_rows) == 0:
+        return ds
+    from .canonical_ordering import parse_ordered, join_ordered
+
+    rng = np.random.default_rng(seed)
+    spellings = []
+    for r in aug_rows:
+        src_f = ds.formulas[ds.aug_group[r]]
+        parts = parse_ordered(src_f)
+        if len(parts) > 1:
+            order = rng.permutation(len(parts))
+            spellings.append(join_ordered([parts[i] for i in order]))
+        else:
+            spellings.append(src_f)
+    toks, a_idx, a_frac, a_mask, ok = _build_aug_rows(spellings, tokenizer)
+
+    formulas = list(ds.formulas)
+    tokens = ds.tokens.copy()
+    e_idx = ds.element_indices.copy()
+    e_frac = ds.element_fractions.copy()
+    e_mask = ds.element_mask.copy()
+    upd = aug_rows[ok]
+    formulas_arr = np.array(formulas, dtype=object)
+    formulas_arr[upd] = np.array(spellings, dtype=object)[ok]
+    tokens[upd] = toks[ok]
+    e_idx[upd] = a_idx[ok]
+    e_frac[upd] = a_frac[ok]
+    e_mask[upd] = a_mask[ok]
+    return dataclasses.replace(
+        ds, formulas=list(formulas_arr), tokens=tokens,
+        element_indices=e_idx, element_fractions=e_frac, element_mask=e_mask)
+
+
+def _apply_order_augmentation(ds: DatasetArrays,
+                              tokenizer: FractionAwareTokenizer,
+                              k: int, seed: int) -> DatasetArrays:
+    """Append up to ``k`` random element-order respellings per multi-element
+    row as real dataset rows (reference: data/canonical_ordering.py:228-295).
+
+    Tokens and element slots follow each new spelling's appearance order —
+    the encoder's element-slot inputs, the fraction head's per-slot targets
+    and the decoder's target sequence all stay mutually consistent per row.
+    Order-free tensors (Tc, Magpie, labels, comp targets) are shared with
+    the source row.  A respelling whose tokenization does not round-trip to
+    the same composition (overlong / out-of-vocab) is skipped."""
+    from .canonical_ordering import OrderAugmentation
+
+    aug = OrderAugmentation(n_augmentations=k, seed=seed)
+    src_rows: List[int] = []
+    spellings: List[str] = []
+    for i, f in enumerate(ds.formulas):
+        for g in aug.augment(f, include_original=False):
+            src_rows.append(i)
+            spellings.append(g)
+    if not spellings:
+        return ds
+
+    toks, a_idx, a_frac, a_mask, ok = _build_aug_rows(spellings, tokenizer)
     src = np.asarray(src_rows)[ok]
     order = np.arange(len(ds))
     return DatasetArrays(

@@ -45,6 +45,11 @@ class TrainConfig:
     # skew_transform 'quantile' (persisted grids, fresh-formula-invertible)
     # or 'rank_gauss' (legacy round-2 normalization)
     order_augment: int = 0
+    # redraw every augmented row's respelling each N epochs (fresh random
+    # permutations) so ordering supervision generalizes beyond K static
+    # spellings; requires order_augment > 0
+    order_augment_resample: bool = False
+    order_augment_resample_interval: int = 1
     skew_transform: str = 'quantile'
     # grace window after a resume before the catastrophic-drop detector may
     # fire (reference grants grace after fresh optimizers / new data,

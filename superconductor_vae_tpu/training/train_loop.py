@@ -317,6 +317,24 @@ def train(
         t0 = time.time()
         tf_exact = last_metrics.get('exact_match', 0.0) if last_metrics else 0.0
 
+        # per-epoch order-augmentation resampling: redraw every augmented
+        # row's element-order respelling (fresh permutations each epoch) so
+        # decode-side ordering supervision generalizes beyond the K static
+        # spellings — see data/pipeline.py::resample_order_augmentation
+        if (tcfg.order_augment_resample and ds.aug_group is not None
+                and epoch % max(tcfg.order_augment_resample_interval, 1) == 0):
+            from ..data.pipeline import resample_order_augmentation
+            ds = resample_order_augmentation(
+                ds, tokenizer, seed=tcfg.seed * 100003 + epoch)
+            if data_dev is not None:
+                fresh = ds.batch(np.arange(len(ds)))
+                for key in ('tokens', 'element_indices',
+                            'element_fractions', 'element_mask'):
+                    arr = np.asarray(fresh[key])
+                    data_dev[key] = (jax.device_put(arr, rep)
+                                     if mesh is not None
+                                     else jax.device_put(arr))
+
         # controller decisions for this epoch
         tc_w, mg_w = curriculum_weights(epoch, tcfg)
         rl_w = rl_ctl.epoch_update(

@@ -446,3 +446,54 @@ def test_subset_and_stratified_sample():
     j = int(idx[0])
     assert sub.formulas[0] == ds.formulas[j]
     np.testing.assert_array_equal(sub.tokens[0], ds.tokens[j])
+
+
+def test_resample_order_augmentation(tmp_path):
+    """Per-epoch respelling redraw: same shapes / same source mapping /
+    same compositions, fresh permutations; source rows untouched."""
+    import pandas as pd
+    from superconductor_vae_tpu.data.pipeline import (
+        canonical_composition_key, resample_order_augmentation,
+    )
+    from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+    df = pd.DataFrame({
+        'formula': ['Y1Ba2Cu3O7', 'La(9/5)Sr(1/5)Cu1O4', 'Pb1',
+                    'Hg1Ba2Ca2Cu3O8'],
+        'Tc': [92.0, 38.0, 7.2, 133.0],
+        'is_superconductor': [1, 1, 1, 1],
+        'category': ['Cuprates', 'Cuprates',
+                     'Elemental Superconductors', 'Cuprates'],
+        'requires_high_pressure': [0, 0, 0, 0],
+    })
+    csv = tmp_path / 'aug.csv'
+    df.to_csv(csv, index=False)
+    tok = default_tokenizer(max_len=30)
+    ds = load_dataset(csv, max_len=30, cache_dir=None, exclude_holdout=False,
+                      tokenizer=tok, order_augment=1, order_augment_seed=0)
+    n_src = int((ds.aug_group == np.arange(len(ds))).sum())
+    ds2 = resample_order_augmentation(ds, tok, seed=7)
+    # static shapes and mapping
+    assert len(ds2) == len(ds)
+    np.testing.assert_array_equal(ds2.aug_group, ds.aug_group)
+    # source rows bit-identical
+    np.testing.assert_array_equal(ds2.tokens[:n_src], ds.tokens[:n_src])
+    assert ds2.formulas[:n_src] == ds.formulas[:n_src]
+    # augmented rows: same composition as source, same token multiset,
+    # slots in the new appearance order
+    changed = 0
+    for j in range(n_src, len(ds2)):
+        src = int(ds2.aug_group[j])
+        assert (canonical_composition_key(ds2.formulas[j])
+                == canonical_composition_key(ds2.formulas[src]))
+        assert sorted(ds2.tokens[j].tolist()) == sorted(
+            ds.tokens[src].tolist())
+        changed += ds2.formulas[j] != ds.formulas[j]
+    # with 4-5 element rows, at least one fresh permutation must differ
+    assert changed >= 1
+    # order-free tensors untouched (shared memoryless copies)
+    np.testing.assert_array_equal(ds2.tc, ds.tc)
+    np.testing.assert_array_equal(ds2.magpie, ds.magpie)
+    # determinism: same seed -> same respellings
+    ds3 = resample_order_augmentation(ds, tok, seed=7)
+    assert ds3.formulas == ds2.formulas

@@ -559,3 +559,44 @@ def test_rl_chunked_epoch_scan_path(tmp_path):
         assert row['mean_reward'] != 0.0 or row['epoch'] >= 0  # RL ran
     # 64 rows / batch 16 = 4 batches: chunk of 2 x2 dispatches, no remainder
     assert hist[0]['samples_per_s'] > 0
+
+
+def test_train_order_augment_resample(tmp_path):
+    """Per-epoch respelling resampling inside the train loop: the
+    device-resident data update path must run and training must stay
+    finite.  (data-level correctness of the redraw is covered in
+    test_data.py::test_resample_order_augmentation)."""
+    import pandas as pd
+    from superconductor_vae_tpu.data import load_dataset
+    from superconductor_vae_tpu.tokenizer import default_tokenizer
+
+    mcfg = tiny_test_config()
+    df = pd.DataFrame({
+        'formula': ['Y1Ba2Cu3O7', 'La(9/5)Sr(1/5)Cu1O4', 'Hg1Ba2Ca2Cu3O8',
+                    'Mg1B2', 'Nb3Sn1', 'Fe1Se1', 'Pb1', 'Nb1'] * 4,
+        'Tc': [92.0, 38.0, 133.0, 39.0, 18.0, 8.0, 7.2, 9.3] * 4,
+        'is_superconductor': [1] * 32,
+        'category': ['Cuprates', 'Cuprates', 'Cuprates', 'Other', 'Other',
+                     'Iron-based', 'Elemental Superconductors',
+                     'Elemental Superconductors'] * 4,
+        'requires_high_pressure': [0] * 32,
+    })
+    csv = tmp_path / 'train.csv'
+    df.to_csv(csv, index=False)
+    tok = default_tokenizer(max_len=mcfg.max_len)
+    ds = load_dataset(csv, max_len=mcfg.max_len, cache_dir=None,
+                      tokenizer=tok, exclude_holdout=False,
+                      order_augment=1, order_augment_seed=0)
+    assert ds.aug_group is not None
+    # the fixture CSV carries no Magpie columns (dim 0): substitute random
+    # features at the tiny config's dim so the encoder branch is non-empty
+    import dataclasses as _dc
+    ds = _dc.replace(ds, magpie=np.random.default_rng(0).normal(
+        size=(len(ds), mcfg.magpie_dim)).astype(np.float32))
+    cfg = small_train_config(order_augment_resample=True,
+                             device_resident_data=True, batch_size=16)
+    out = train(model_config=mcfg, train_config=cfg, dataset=ds,
+                output_dir=tmp_path, use_mesh=False, log_fn=lambda *a: None)
+    assert len(out['history']) == 2
+    for row in out['history']:
+        assert np.isfinite(row['total'])

@@ -57,6 +57,9 @@ def main():
     p.add_argument('--no-inverse', action='store_true')
     p.add_argument('--inversion-steps', type=int, default=384)
     p.add_argument('--constrain-elements', action='store_true')
+    p.add_argument('--no-snap-stoich', action='store_true',
+                   help='disable rational-snap of predicted stoich decode '
+                        'conditioning (round-5 default ON)')
     p.add_argument('--shard-timeout', type=int, default=3600,
                    help='seconds per window subprocess')
     p.add_argument('--first-window', type=int, default=0,
@@ -105,6 +108,8 @@ def main():
             cmd.append('--no-inverse')
         if args.constrain_elements:
             cmd.append('--constrain-elements')
+        if args.no_snap_stoich:
+            cmd.append('--no-snap-stoich')
         return cmd
 
     starts = list(range(0, N_HOLDOUT, args.window))

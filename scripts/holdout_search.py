@@ -59,6 +59,10 @@ def main():
                         'reconstruction: corpus rows shift only at tied '
                         'blocks, while fresh formulas gain REAL skewed-'
                         'column features instead of the column mean')
+    p.add_argument('--no-snap-stoich', action='store_true',
+                   help='disable the rational snap of predicted stoich '
+                        'conditioning before decode (round-5 default ON; '
+                        'generation/stoich_snap.py)')
     p.add_argument('--oracle-only', action='store_true',
                    help='skip the generative search entirely: encode each '
                         'holdout composition directly (alphabetical slots, '
@@ -177,6 +181,7 @@ def main():
                             sample_slice=args.sample_slice,
                             sample_draws=args.sample_draws,
                             strategy_order=args.strategy_order,
+                            snap_stoich=not args.no_snap_stoich,
                             seed=args.seed)
     summary = HoldoutSearch.summarize(results)
     print(json.dumps(summary, indent=2))

@@ -61,7 +61,8 @@ class SuperconductorDiscoveryPipeline:
                        rng: Optional[jax.Array] = None,
                        type_masks: Optional[jnp.ndarray] = None,
                        chunk: Optional[int] = None,
-                       pure_greedy: bool = False) -> List[str]:
+                       pure_greedy: bool = False,
+                       snap_stoich: bool = False) -> List[str]:
         """z -> formulas via encoder heads + batched KV-cache decode.
 
         The whole head-assembly + rollout is ONE jitted program per
@@ -84,9 +85,14 @@ class SuperconductorDiscoveryPipeline:
         (generate.py:71-87, reference autoregressive_decoder.py:1437-1457)
         can truncate a long formula whose stop head fires early even when
         every TF argmax matches the target.
+
+        ``snap_stoich``: rational-snap the fraction head's predicted stoich
+        conditioning before decode (generation/stoich_snap.py) — removes
+        the small conditioning ε the decoder is hypersensitive to (the
+        round-4 oracle root cause).
         """
         greedy = temperature < 0.01
-        key = ('decode', greedy, pure_greedy)
+        key = ('decode', greedy, pure_greedy, snap_stoich)
         if not hasattr(self, '_jit_cache'):
             self._jit_cache = {}
         if key not in self._jit_cache:
@@ -103,8 +109,12 @@ class SuperconductorDiscoveryPipeline:
             def run(enc_params, dec_params, z, rng, temp, tm):
                 full = self.encoder.apply(
                     enc_params, z, method=MaterialsEncoder.heads_from_z)
+                stoich = full['stoich']
+                if snap_stoich:
+                    from .stoich_snap import rational_snap_stoich
+                    stoich = rational_snap_stoich(stoich)
                 out = generate_with_kv_cache(
-                    self.decoder, dec_params, z, full['stoich'],
+                    self.decoder, dec_params, z, stoich,
                     full['heads_vec'], rng, gcfg,
                     type_masks=tm,
                     temperature=None if greedy else temp)

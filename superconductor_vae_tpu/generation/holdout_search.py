@@ -813,6 +813,7 @@ class HoldoutSearch:
                decode_chunk: int = 2048,
                target_offset: int = 0,
                strategy_order: str = 'tiered',
+               snap_stoich: bool = True,
                log_fn=print,
                stream_fn=None) -> List[HoldoutResult]:
         """``refine_rounds``: zoom-in passes re-seeding a fine perturbation
@@ -887,7 +888,8 @@ class HoldoutSearch:
                             z_use, temperature=temp,
                             rng=jax.random.fold_in(rng_, s * 131 + d),
                             type_masks=tmask, chunk=decode_chunk,
-                            pure_greedy=pure_greedy)
+                            pure_greedy=pure_greedy,
+                            snap_stoich=snap_stoich)
                         for j, f in enumerate(fs):
                             if f:
                                 by_formula.setdefault(f, []).append(offset + j)

@@ -602,3 +602,57 @@ class TestInverseRegression:
             return float((((p - fs) ** 2) * ms).sum(-1).mean())
 
         assert sorted_err(zg[-len(z0):]) < sorted_err(z0)
+
+
+class TestStoichSnap:
+    def test_grid_values_are_fixed_points(self):
+        """Ground-truth stoich (exact rational shares + integer count) must
+        pass through unchanged — the snap can default-on."""
+        import jax.numpy as jnp
+        from superconductor_vae_tpu.generation.stoich_snap import (
+            rational_snap_stoich,
+        )
+        # YBa2Cu3O7 shares: 1/13, 2/13, 3/13, 7/13
+        s = np.zeros((1, 13), np.float32)
+        s[0, :4] = np.array([1, 2, 3, 7], np.float32) / 13.0
+        s[0, -1] = 4.0
+        out = np.asarray(rational_snap_stoich(jnp.asarray(s)))
+        np.testing.assert_allclose(out, s, atol=1e-6)
+
+    def test_small_noise_recovers_grid(self):
+        import jax.numpy as jnp
+        from superconductor_vae_tpu.generation.stoich_snap import (
+            rational_snap_stoich,
+        )
+        rng = np.random.default_rng(0)
+        shares = np.array([1, 2, 3, 7], np.float32) / 13.0
+        s = np.zeros((1, 13), np.float32)
+        s[0, :4] = shares + rng.normal(0, 2e-3, 4).astype(np.float32)
+        s[0, -1] = 4.2
+        out = np.asarray(rational_snap_stoich(jnp.asarray(s)))
+        np.testing.assert_allclose(out[0, :4], shares, atol=1e-6)
+        assert out[0, -1] == 4.0
+        # inactive slots stay (near) zero
+        np.testing.assert_allclose(out[0, 4:12], 0.0, atol=1e-6)
+
+    def test_degenerate_all_zero_falls_back(self):
+        import jax.numpy as jnp
+        from superconductor_vae_tpu.generation.stoich_snap import (
+            rational_snap_stoich,
+        )
+        s = np.full((1, 13), 1e-4, np.float32)
+        out = np.asarray(rational_snap_stoich(jnp.asarray(s)))
+        assert np.isfinite(out).all()
+
+    def test_jit_and_batch(self):
+        import jax, jax.numpy as jnp
+        from superconductor_vae_tpu.generation.stoich_snap import (
+            rational_snap_stoich,
+        )
+        x = jnp.asarray(np.random.default_rng(1).uniform(
+            0, 0.3, (8, 13)).astype(np.float32))
+        out = jax.jit(rational_snap_stoich)(x)
+        assert out.shape == (8, 13)
+        # shares renormalized to 1 where nonzero
+        sums = np.asarray(out[:, :12].sum(axis=1))
+        assert ((np.abs(sums - 1.0) < 1e-5) | (sums == 0)).all()

@@ -112,6 +112,20 @@ def main():
             cmd.append('--no-snap-stoich')
         return cmd
 
+    def streamed_at_budget():
+        """Target indices already completed in the stream at >= this
+        campaign's budget — per-TARGET resume so a shard killed mid-window
+        never re-runs (and never re-streams) its finished targets."""
+        done = set()
+        if stream.exists():
+            for line in stream.read_text().splitlines():
+                if not line:
+                    continue
+                r = json.loads(line)
+                if int(r.get('budget', 0)) >= args.budget:
+                    done.add(int(r.get('index', -1)))
+        return done
+
     starts = list(range(0, N_HOLDOUT, args.window))
     pivot = next((i for i, s in enumerate(starts)
                   if s >= args.first_window), 0)
@@ -122,17 +136,40 @@ def main():
         if shard_out.exists():
             print(f'[campaign] shard {lo}..{lo+n-1}: cached', flush=True)
             continue
-        cmd = base_cmd(args.budget, args.seed) + [
-            '--target-offset', str(lo), '--n-targets', str(n),
-            '--out', str(shard_out)]
-        print(f'[campaign] shard {lo}..{lo+n-1}: running', flush=True)
-        try:
-            rc = subprocess.run(cmd, timeout=args.shard_timeout).returncode
-        except subprocess.TimeoutExpired:
-            rc = -1
-        if rc != 0 or not shard_out.exists():
-            print(f'[campaign] shard {lo} FAILED rc={rc} '
-                  f'(finished targets live in the stream)', flush=True)
+        done = streamed_at_budget()
+        missing = [i for i in range(lo, lo + n) if i not in done]
+        if not missing:
+            print(f'[campaign] shard {lo}..{lo+n-1}: all targets already '
+                  f'streamed', flush=True)
+            continue
+        # contiguous missing runs -> one subprocess each (the search CLI
+        # addresses targets by offset+count)
+        runs = []
+        for i in missing:
+            if runs and i == runs[-1][0] + runs[-1][1]:
+                runs[-1][1] += 1
+            else:
+                runs.append([i, 1])
+        rc = 0
+        for r_lo, r_n in runs:
+            cmd = base_cmd(args.budget, args.seed) + [
+                '--target-offset', str(r_lo), '--n-targets', str(r_n),
+                '--out', str(shard_dir / f'run_{r_lo:02d}_{r_n}.json')]
+            print(f'[campaign] targets {r_lo}..{r_lo+r_n-1}: running',
+                  flush=True)
+            try:
+                rc = subprocess.run(
+                    cmd, timeout=args.shard_timeout).returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+            if rc != 0:
+                print(f'[campaign] targets {r_lo}..{r_lo+r_n-1} FAILED '
+                      f'rc={rc} (finished targets live in the stream)',
+                      flush=True)
+        if rc == 0:
+            # marker only — the per-target records live in the stream
+            shard_out.write_text(json.dumps({'targets': list(range(
+                lo, lo + n)), 'via': 'stream'}))
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from holdout_summarize import summarize  # noqa: E402

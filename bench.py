@@ -322,9 +322,50 @@ def main():
             rl_error = f'{type(e).__name__}: {e}'[:500]
             print(f'# rl probe failed: {rl_error}', file=sys.stderr)
         finally:
-            probe_done.set()
+            # probe_done is set after the GEN probe below — the watchdog
+            # thread guards both post-primary probes
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old_handler)
+
+    # generation-throughput probe (VERDICT r4 #5: the KV-cache decode rate
+    # is a headline BASELINE metric — publish it in the default artifact,
+    # not only under --gen).  Reuses the already-initialized model; its own
+    # timeout rides the same watchdog thread as the RL probe.
+    gen_formulas_per_s = None
+    gen_error = None
+    if not args.rl and not args.quick:
+        try:
+            from superconductor_vae_tpu.generation import (
+                GenerationConfig, generate_with_kv_cache,
+            )
+            gcfg = GenerationConfig(max_len=mcfg.max_len, temperature=0.0,
+                                    stop_boost=10.0, hard_stop_threshold=0.8,
+                                    use_type_masking=True, early_exit=True)
+            gz = jax.random.normal(rng, (batch_size, mcfg.latent_dim), dtype)
+            gst = jnp.zeros((batch_size, mcfg.stoich_input_dim), dtype)
+            ghv = jnp.zeros((batch_size, mcfg.heads_input_dim), dtype)
+            gmasks = luts['type_masks']
+
+            @jax.jit
+            def gen(dec_params, grng):
+                return generate_with_kv_cache(
+                    decoder, dec_params, gz, gst, ghv, grng, gcfg,
+                    type_masks=gmasks)['tokens']
+
+            o = gen(state.dec_params, rng)
+            jax.block_until_ready(o)
+            n_gen = 5
+            t0 = time.perf_counter()
+            for i in range(n_gen):
+                o = gen(state.dec_params, jax.random.fold_in(rng, 7000 + i))
+            jax.block_until_ready(o)
+            gen_formulas_per_s = (n_gen * batch_size /
+                                  (time.perf_counter() - t0) / n_chips)
+        except Exception as e:  # noqa: BLE001
+            gen_error = f'{type(e).__name__}: {e}'[:300]
+            print(f'# gen probe failed: {gen_error}', file=sys.stderr)
+        finally:
+            probe_done.set()
 
     out = {
         'metric': 'train_samples_per_s_per_chip_108M_multitask'
@@ -333,6 +374,13 @@ def main():
         'unit': 'samples/s/chip',
         'vs_baseline': round(samples_per_s / BASELINE_SAMPLES_PER_S, 2),
     }
+    if gen_formulas_per_s is not None:
+        # reference anchor: 57.6 forward passes/s on the RTX 4060
+        # (docs/COMPUTATIONAL_EFFICIENCY.md:39)
+        out['gen_formulas_per_s_per_chip'] = round(gen_formulas_per_s, 1)
+        out['gen_vs_baseline'] = round(gen_formulas_per_s / 57.6, 1)
+    if gen_error is not None:
+        out['gen_error'] = gen_error
     if rl_samples_per_s is not None:
         # the reference's 19.2 samples/s INCLUDES its REINFORCE epochs
         out['rl_samples_per_s_per_chip'] = round(rl_samples_per_s, 2)

@@ -103,8 +103,26 @@ def load_source(path: Path):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--sources', nargs='+', required=True)
+    p.add_argument('--sources', nargs='+', default=[],
+                   help='generic CSV/TSV sources (column auto-detection)')
     p.add_argument('--out', required=True)
+    # source-specific readers (data/ingest_sources.py — reference:
+    # ingest_nemad.py + ingest_new_datasets.py). Each flag takes a local
+    # file in that source's native export format.
+    p.add_argument('--nemad', default=None,
+                   help='NEMAD superconductor CSV (Chemical_Composition + '
+                        'Median_Tc/free-text Tc; experimental rows only)')
+    p.add_argument('--mdr', default=None,
+                   help='MDR SuperCon (NIMS) primary.tsv')
+    p.add_argument('--supercon2', default=None,
+                   help='SuperCon2 literature-mined cleanup CSV')
+    p.add_argument('--threedsc', default=None, help='3DSC_MP.csv')
+    p.add_argument('--sodnet', default=None, help='SODNet SuperCon CSV')
+    p.add_argument('--manual-hydrides', action='store_true',
+                   help='append the 12 curated DAC hydride entries')
+    p.add_argument('--exclude-existing', default=None,
+                   help='already-processed CSV whose compositions are '
+                        'skipped (incremental corpus growth)')
     p.add_argument('--add-non-sc', type=int, default=0,
                    help='append N non-SC negatives (Materials Project or '
                         'fallback lists)')
@@ -144,6 +162,40 @@ def main():
         if df is not None:
             frames.append(df)
             print(f'  {s}: {len(df)} rows')
+
+    # source-specific readers -> normalized schema -> conflict-resolving
+    # merge with holdout exclusion (data/ingest_sources.py)
+    from superconductor_vae_tpu.data import ingest_sources as isrc
+    specific = []
+    for flag, reader in (('nemad', isrc.read_nemad), ('mdr', isrc.read_mdr),
+                         ('supercon2', isrc.read_supercon2),
+                         ('threedsc', isrc.read_threedsc),
+                         ('sodnet', isrc.read_sodnet)):
+        path = getattr(args, flag)
+        if path:
+            df = reader(path)
+            specific.append(df)
+            print(f'  {flag}: {len(df)} rows')
+    if args.manual_hydrides:
+        specific.append(isrc.manual_hydrides())
+        print('  manual_hydrides: 12 rows')
+    if specific:
+        holdout_json = (Path(__file__).resolve().parents[1] / 'data'
+                        / 'GENERATIVE_HOLDOUT_DO_NOT_TRAIN.json')
+        holdout = (isrc.load_holdout_keys(holdout_json)
+                   if holdout_json.exists() else frozenset())
+        existing = frozenset()
+        if args.exclude_existing:
+            prev = pd.read_csv(args.exclude_existing)
+            existing = {isrc.canonical_key(f) for f in prev['formula']}
+            existing.discard(None)
+        sdf, rep = isrc.merge_sources(specific, holdout_keys=holdout,
+                                      existing_keys=existing)
+        print(f'  merge_sources: {rep}')
+        sdf = sdf.rename(columns={'dataset': 'source'})
+        frames.append(sdf[['formula', 'Tc', 'source']])
+    if not frames:
+        p.error('no input rows: pass --sources and/or a specific-source flag')
     merged = pd.concat(frames, ignore_index=True)
 
     # drop unparseable formulas + dedup by (formula, Tc rounded)

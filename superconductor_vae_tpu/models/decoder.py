@@ -302,8 +302,18 @@ class FormulaDecoder(nn.Module):
         if memory is None:
             memory = self.build_memory(z, stoich, heads_vec)
         inputs = target_tokens[:, :-1]
-        t = inputs.shape[1]
-        x = self.token_embedding(inputs) + self.pos_table[None, :t].astype(self.dtype)
+        return self.forward_embeds(self.token_embedding(inputs), memory,
+                                   deterministic=deterministic)
+
+    def forward_embeds(self, input_embeds, memory, *,
+                       deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """Parallel causal forward over explicit input embeddings
+        (pre-positional).  Lets soft-token scheduled sampling feed
+        probability-weighted embedding mixtures instead of token ids
+        (training/soft_token.py; reference:
+        training/soft_token_sampling.py:264-360)."""
+        t = input_embeds.shape[1]
+        x = input_embeds + self.pos_table[None, :t].astype(self.dtype)
         x = self.drop(x, deterministic=deterministic)
         mask = causal_mask(t)
         for layer in self.layers:
@@ -312,6 +322,15 @@ class FormulaDecoder(nn.Module):
         heads['generated'] = jnp.argmax(heads['logits'], axis=-1)
         heads['memory'] = memory
         return heads
+
+    def embed_hard(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Token ids -> embeddings (exposed for the soft-token mixer)."""
+        return self.token_embedding(tokens)
+
+    def embed_soft(self, probs: jnp.ndarray) -> jnp.ndarray:
+        """Probability rows -> expected embedding: probs @ E
+        (reference: soft_token_sampling.py:138-162 soft_embed)."""
+        return probs @ self.token_embedding.embedding.astype(probs.dtype)
 
     # -- single-token cached step ---------------------------------------------
     def decode_step(self, token, position, k_caches, v_caches, memory_kvs):

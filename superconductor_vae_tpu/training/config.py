@@ -50,6 +50,17 @@ class TrainConfig:
     # spellings; requires order_augment > 0
     order_augment_resample: bool = False
     order_augment_resample_interval: int = 1
+    # soft-token scheduled sampling (training/soft_token.py; reference:
+    # training/soft_token_sampling.py): differentiable exposure-bias
+    # training — second decoder pass over probability-weighted embedding
+    # mixtures. Ratio ramps start->end over soft_token_epochs after warmup.
+    soft_token_enabled: bool = False
+    soft_token_start_ratio: float = 0.0
+    soft_token_end_ratio: float = 0.3
+    soft_token_warmup_epochs: int = 0
+    soft_token_epochs: int = 300
+    soft_token_schedule: str = 'linear'
+    soft_token_temperature: float = 1.0
     skew_transform: str = 'quantile'
     # grace window after a resume before the catastrophic-drop detector may
     # fire (reference grants grace after fresh optimizers / new data,

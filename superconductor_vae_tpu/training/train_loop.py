@@ -359,6 +359,15 @@ def train(
                 rl_ctl.temperature(epoch) * ent_mgr.temperature_scale, 0.011)),
             'entropy_weight': jnp.asarray(ent_w),
         })
+        if tcfg.soft_token_enabled:
+            from .soft_token import SoftTokenSchedule, soft_token_ratio
+            dyn['soft_ratio'] = jnp.asarray(soft_token_ratio(
+                epoch, SoftTokenSchedule(
+                    n_epochs=tcfg.soft_token_epochs,
+                    start_ratio=tcfg.soft_token_start_ratio,
+                    end_ratio=tcfg.soft_token_end_ratio,
+                    warmup_epochs=tcfg.soft_token_warmup_epochs,
+                    schedule=tcfg.soft_token_schedule)))
         if pos_weighter is not None:
             dyn['entropy_pos_w'] = jnp.asarray(
                 pos_weighter.weights(), jnp.float32)

@@ -175,6 +175,7 @@ def default_dyn(tcfg: TrainConfig) -> Dict[str, jnp.ndarray]:
         'm_hp': jnp.asarray(1.0), 'm_sc': jnp.asarray(1.0),
         'm_stop': jnp.asarray(1.0), 'm_site_dup': jnp.asarray(1.0),
         'm_family': jnp.asarray(1.0), 'm_physics_z': jnp.asarray(1.0),
+        'soft_ratio': jnp.asarray(tcfg.soft_token_start_ratio),
     }
 
 
@@ -215,9 +216,22 @@ def _build_step_fn(
         heads_vec = encoder.apply(
             enc_params, enc_out, method=MaterialsEncoder.heads_pred_for_decoder)
         stoich = stoich_conditioning(batch)
-        dec_out = decoder.apply(
-            dec_params, enc_out['z'], batch['tokens'], stoich, heads_vec,
-            deterministic=False, rngs={'dropout': drop_rng})
+        if tcfg.soft_token_enabled:
+            # soft-token scheduled sampling: two-pass forward where the
+            # second pass sees probability-weighted embedding mixtures;
+            # ratio rides dyn as a traced scalar so the epoch ramp shares
+            # one compile (training/soft_token.py; reference:
+            # soft_token_sampling.py:230-360)
+            from .soft_token import soft_token_forward
+            dec_out = soft_token_forward(
+                decoder, dec_params, enc_out['z'], batch['tokens'], stoich,
+                heads_vec, soft_ratio=dyn['soft_ratio'],
+                temperature=tcfg.soft_token_temperature,
+                rngs={'dropout': drop_rng}, deterministic=False)
+        else:
+            dec_out = decoder.apply(
+                dec_params, enc_out['z'], batch['tokens'], stoich, heads_vec,
+                deterministic=False, rngs={'dropout': drop_rng})
         enc_out = _f32(enc_out)
         dec_out = _f32(dec_out)
 

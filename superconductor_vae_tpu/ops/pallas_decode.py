@@ -84,7 +84,7 @@ def decode_step_attention(
     k_cache: jnp.ndarray,  # [B, H, T, Dh]
     v_cache: jnp.ndarray,  # [B, H, T, Dh]
     position: jnp.ndarray,  # scalar int32
-    block_b: int = 32,
+    block_b: int = 16,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused cache-update + masked single-token attention.
@@ -95,6 +95,11 @@ def decode_step_attention(
     """
     b, h, dh = q.shape
     t = k_cache.shape[2]
+    # block_b=16 keeps the per-program VMEM residency (bf16 K+V blocks,
+    # their aliased outputs, and the f32 attention intermediates, each
+    # [Bb,H,T,128-padded]) comfortably under the ~16MB scoped budget with
+    # Mosaic's cross-step double-buffering — block 32 was marginal and
+    # OOM'd at eval batch 256 (docs/RESULTS.md round-4 A/B)
     block_b = min(block_b, b)
     while b % block_b:       # largest divisor of b that fits the budget
         block_b -= 1

@@ -55,6 +55,10 @@ def main():
                         'holdout_search.py): tier table then reads '
                         'navigation -> inversion')
     p.add_argument('--no-inverse', action='store_true')
+    p.add_argument('--no-oracle', action='store_true',
+                   help='skip the in-campaign oracle diagnostic (~30% of '
+                        'target wall; the standalone --oracle-only run '
+                        'publishes the same number)')
     p.add_argument('--inversion-steps', type=int, default=384)
     p.add_argument('--constrain-elements', action='store_true')
     p.add_argument('--no-snap-stoich', action='store_true',
@@ -110,6 +114,8 @@ def main():
             cmd.append('--constrain-elements')
         if args.no_snap_stoich:
             cmd.append('--no-snap-stoich')
+        if args.no_oracle:
+            cmd.append('--no-oracle')
         return cmd
 
     def streamed_at_budget():

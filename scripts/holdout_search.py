@@ -63,6 +63,11 @@ def main():
                    help='disable the rational snap of predicted stoich '
                         'conditioning before decode (round-5 default ON; '
                         'generation/stoich_snap.py)')
+    p.add_argument('--no-oracle', action='store_true',
+                   help='skip the per-target oracle-reconstruction '
+                        'diagnostic (the standalone --oracle-only run '
+                        'already publishes it; in-campaign it costs ~30% '
+                        'of a target wall: 144s/490s profiled)')
     p.add_argument('--oracle-only', action='store_true',
                    help='skip the generative search entirely: encode each '
                         'holdout composition directly (alphabetical slots, '
@@ -90,7 +95,7 @@ def main():
     # per-target rerun subprocesses (holdout_rerun_misses.py) share the
     # decode executables across processes via the on-disk cache
     from superconductor_vae_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+    enable_compilation_cache(min_compile_secs=0.05)
 
     import jax.numpy as jnp
     from superconductor_vae_tpu.checkpoint import load_checkpoint
@@ -182,6 +187,7 @@ def main():
                             sample_draws=args.sample_draws,
                             strategy_order=args.strategy_order,
                             snap_stoich=not args.no_snap_stoich,
+                            oracle_diagnostic=not args.no_oracle,
                             seed=args.seed)
     summary = HoldoutSearch.summarize(results)
     print(json.dumps(summary, indent=2))

@@ -292,8 +292,9 @@ class TestHoldoutSearch:
         fs = pipe.decode_latents(z, pure_greedy=True)
         assert fs == [tok.decode(t) for t in rolled]
         pipe.decode_latents(z)                          # gated greedy
-        assert ('decode', True, True) in pipe._jit_cache
-        assert ('decode', True, False) in pipe._jit_cache
+        # cache key: ('decode', greedy, pure_greedy, snap_stoich)
+        assert ('decode', True, True, False) in pipe._jit_cache
+        assert ('decode', True, False, False) in pipe._jit_cache
 
     def test_head_guided_latents_descend(self, tmp_path):
         """Guided navigation must reduce the encoder-head mismatch with the
